@@ -1,0 +1,111 @@
+package graft.agg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.{Window => W}
+import org.apache.spark.sql.functions._
+
+/** Featurization & evaluation aggregates (SURVEY.md §2.5, §2.7).
+  *
+  * The count-vector / TF-IDF backbone of the reference's windowed anomaly
+  * features (loglizer/preprocessing.py:48-151), re-expressed as exploded
+  * (group, event) aggregates: schema-stable regardless of dictionary size,
+  * map-side-combinable, and skew-safe (the hot-template count goes through
+  * [[saltedCount]]).
+  */
+object Features {
+
+  /** G4 — template occurrence count with explicit skew salting
+    * (north rule: "skewed hot templates are salted before the groupBy-count
+    * aggregate"). Two-level aggregate: a first partial on
+    * (key, salt=pmod(hash(conv_id), buckets)) bounds any single reducer's key
+    * share to 1/buckets, then the tiny salted result is re-aggregated.
+    * (Spark's hash agg already does map-side partials; the salt additionally
+    * protects the final exchange when one key dominates the whole input.)
+    */
+  def saltedCount(df: DataFrame, keyCol: String, buckets: Int = 32): DataFrame =
+    df.groupBy(col(keyCol), pmod(hash(col("conv_id")), lit(buckets)).as("__salt"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__c")).as("occurrences"))
+
+  /** G7 — per-group event-count vector, exploded form (group, event, cnt)
+    * (loglizer/preprocessing.py:77-84). Callers can `map_from_entries` it
+    * back into a MapType column when a vector-per-row is needed.
+    */
+  def countVectors(df: DataFrame, groupCols: Seq[String],
+                   eventCol: String = "event_id"): DataFrame =
+    df.groupBy((groupCols :+ eventCol).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** G8 — TF-IDF weighting over count vectors
+    * (loglizer/preprocessing.py:96-99): idf = ln(N / df), with
+    * df = #groups containing the event; weight = tf * idf.
+    * The idf side is tiny (one row per event) → broadcast join.
+    */
+  def tfidf(counts: DataFrame, groupCols: Seq[String],
+            eventCol: String = "event_id"): DataFrame = {
+    val nGroups = counts.select(groupCols.map(col): _*).distinct().count()
+    val dfTable = counts.groupBy(col(eventCol)).agg(count(lit(1)).as("df"))
+      .withColumn("idf", log(lit(nGroups.toDouble) / col("df")))
+    counts.join(broadcast(dfTable), eventCol)
+      .withColumn("tfidf", col("cnt") * col("idf"))
+  }
+
+  /** G5/J5 — vocab build: events ranked by frequency desc then name asc into
+    * contiguous 1-based ids (logdeep/dataset/vocab.py:21-29 with the pinned
+    * deterministic ordering of bert_pytorch/dataset/vocab.py:52-58).
+    */
+  def vocab(df: DataFrame, eventCol: String = "event_id"): DataFrame =
+    df.groupBy(col(eventCol)).agg(count(lit(1)).as("freq"))
+      .withColumn("vocab_id", row_number().over(W.orderBy(col("freq").desc, col(eventCol).asc)))
+
+  /** G12 — distinct-sequence multiplicities split by label
+    * (logdeep/tools/predict.py:26-52): groupBy(seq, label).count.
+    */
+  def distinctSequences(grouped: DataFrame, seqCol: String = "events",
+                        labelCol: String = "label"): DataFrame =
+    grouped.groupBy(array_join(col(seqCol), " ").as("seq"), col(labelCol))
+      .agg(count(lit(1)).as("multiplicity"))
+
+  /** G13 — train-side dedup: each distinct sequence once
+    * (dataset/data_process.py:163-176).
+    */
+  def dedupSequences(grouped: DataFrame, seqCol: String = "events"): DataFrame =
+    grouped.dropDuplicates(seqCol)
+
+  /** G14 — dedup with label reconciliation: conflicting labels for one
+    * sequence → min(label) (pinned rule for PLELog/data/Sample.py:121-127's
+    * order-dependent behavior, SURVEY.md §7.3.2).
+    */
+  def reconcileLabels(grouped: DataFrame, seqCol: String = "events",
+                      labelCol: String = "label"): DataFrame =
+    grouped.groupBy(array_join(col(seqCol), " ").as("seq"))
+      .agg(min(col(labelCol)).as("label"), count(lit(1)).as("multiplicity"))
+
+  /** G16 — confusion matrix + precision/recall/F1 from (pred, truth) 0/1
+    * columns, one pass of conditional sums (loglizer/utils.py:13-42).
+    */
+  def confusion(df: DataFrame, predCol: String, truthCol: String): DataFrame = {
+    val p = col(predCol); val t = col(truthCol)
+    df.agg(
+      sum(when(p === 1 && t === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(p === 1 && t === 0, 1L).otherwise(0L)).as("fp"),
+      sum(when(p === 0 && t === 0, 1L).otherwise(0L)).as("tn"),
+      sum(when(p === 0 && t === 1, 1L).otherwise(0L)).as("fn"))
+  }
+
+  /** O3 — top-k candidate membership: anomaly iff the true next event is not
+    * among the k most frequent events (the data-pipeline half of
+    * logdeep/tools/predict.py:99-111; model logits replaced by the frequency
+    * prior, which is what the count-vector backbone feeds).
+    */
+  def topKMembership(history: DataFrame, k: Int,
+                     eventCol: String = "next_event"): DataFrame = {
+    val topK = history.groupBy(col(eventCol).as("e")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("e").asc).limit(k)
+      .select(col("e"))
+    history.join(broadcast(topK), history(eventCol) === topK("e"), "left")
+      .withColumn("is_anomaly", when(col("e").isNull, 1).otherwise(0))
+      .drop("e")
+  }
+}

@@ -1,0 +1,321 @@
+package graft.parse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+import java.security.MessageDigest
+
+/** Configuration of the Drain template miner.
+  *
+  * Semantics follow the published Drain algorithm (He et al., ICWS'17) as used
+  * by the reference (/root/reference/logadempirical/logparser/Drain.py:32-55):
+  * `depth` is the full tree depth (internal token layers = depth - 2), `st`
+  * the similarity threshold, `maxChild` the child cap per internal node,
+  * `scrub` the preprocessing regexes replaced by `<*>` before tokenizing
+  * (Drain.py:290-293).
+  */
+final case class DrainConfig(
+    depth: Int = 4,
+    st: Double = 0.4,
+    maxChild: Int = 100,
+    scrub: Seq[String] = Nil
+) {
+  require(depth >= 3, "depth must be >= 3 (one root layer + one length layer)")
+  def internalDepth: Int = depth - 2
+}
+
+/** A mined cluster: current template tokens + how many lines it absorbed. */
+final case class MinedCluster(tokens: Seq[String], count: Long)
+
+/** Finalized template dictionary entry (mirrors `_templates.csv`,
+  * Drain.py:218-224; `event_id = md5(template)[0:8]`, Drain.py:203,221).
+  */
+final case class TemplateEntry(event_id: String, event_template: String, occurrences: Long)
+
+/** Drain prefix tree — faithful Scala re-expression of the reference's
+  * mutable parse state (Drain.py:60-194). One tree per Spark partition in the
+  * mine phase; a fresh driver-side tree for the deterministic merge; a frozen
+  * tree (no mutation) broadcast for the match phase.
+  */
+final class DrainTree(cfg: DrainConfig) extends Serializable {
+
+  final class LogCluster(var tokens: Vector[String], var count: Long) extends Serializable
+  final class Node extends Serializable {
+    val children: mutable.HashMap[String, Node]    = mutable.HashMap.empty
+    val clusters: mutable.ArrayBuffer[LogCluster]  = mutable.ArrayBuffer.empty
+  }
+
+  private val rootByLen: mutable.HashMap[Int, Node] = mutable.HashMap.empty
+
+  private def hasNumbers(s: String): Boolean = s.exists(_.isDigit)
+
+  /** Drain.py:146-160 — token-position similarity; `<*>` in the template is
+    * skipped (counted as a parameter, used only for tie-breaking).
+    */
+  private def seqDist(template: Vector[String], seq: Vector[String]): (Double, Int) = {
+    var sim = 0; var par = 0; var i = 0
+    while (i < template.length) {
+      val t = template(i)
+      if (t == "<*>") par += 1
+      else if (t == seq(i)) sim += 1
+      i += 1
+    }
+    (sim.toDouble / template.length, par)
+  }
+
+  /** Drain.py:162-179 — best cluster by (similarity, #params); ≥ st or none. */
+  private def fastMatch(cands: mutable.ArrayBuffer[LogCluster], seq: Vector[String]): Option[LogCluster] = {
+    var maxSim = -1.0; var maxPar = -1; var best: LogCluster = null
+    var i = 0
+    while (i < cands.length) {
+      val c = cands(i)
+      val (s, p) = seqDist(c.tokens, seq)
+      if (s > maxSim || (s == maxSim && p > maxPar)) { maxSim = s; maxPar = p; best = c }
+      i += 1
+    }
+    if (maxSim >= cfg.st) Option(best) else None
+  }
+
+  /** Drain.py:60-86 — descend (length, token-prefix) layers to the leaf. */
+  def search(seq: Vector[String]): Option[LogCluster] = {
+    rootByLen.get(seq.length).flatMap { first =>
+      var parent = first
+      var depth  = 1
+      var i      = 0
+      var dead   = false
+      while (!dead && i < seq.length && depth < cfg.internalDepth && depth <= seq.length) {
+        val tok = seq(i)
+        parent.children.get(tok).orElse(parent.children.get("<*>")) match {
+          case Some(n) => parent = n
+          case None    => dead = true
+        }
+        depth += 1; i += 1
+      }
+      if (dead) None else fastMatch(parent.clusters, seq)
+    }
+  }
+
+  /** Drain.py:88-143 — insert a new cluster, capping children at maxChild and
+    * forcing digit-bearing tokens to `<*>`.
+    */
+  private def addToTree(cluster: LogCluster): Unit = {
+    val seq   = cluster.tokens
+    var parent = rootByLen.getOrElseUpdate(seq.length, new Node)
+    var depth = 1
+    var i     = 0
+    var done  = false
+    while (!done) {
+      if (depth >= cfg.internalDepth || depth > seq.length) {
+        parent.clusters += cluster
+        done = true
+      } else {
+        val tok = seq(i)
+        parent.children.get(tok) match {
+          case Some(n) => parent = n
+          case None =>
+            if (!hasNumbers(tok)) {
+              if (parent.children.contains("<*>")) {
+                if (parent.children.size < cfg.maxChild) {
+                  val n = new Node; parent.children(tok) = n; parent = n
+                } else parent = parent.children("<*>")
+              } else {
+                if (parent.children.size + 1 < cfg.maxChild) {
+                  val n = new Node; parent.children(tok) = n; parent = n
+                } else if (parent.children.size + 1 == cfg.maxChild) {
+                  val n = new Node; parent.children("<*>") = n; parent = n
+                } else parent = parent.children("<*>")
+              }
+            } else {
+              parent = parent.children.getOrElseUpdate("<*>", new Node)
+            }
+        }
+        depth += 1; i += 1
+      }
+    }
+  }
+
+  /** Drain.py:181-194 — position-wise template merge: mismatch → `<*>`. */
+  private def mergeTemplate(seq: Vector[String], tpl: Vector[String]): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < seq.length) { out += (if (seq(i) == tpl(i)) tpl(i) else "<*>"); i += 1 }
+    out.result()
+  }
+
+  /** One observation (Drain.py:255-273). `weight` > 1 replays a whole mined
+    * cluster during the driver-side merge.
+    */
+  def insert(seq: Vector[String], weight: Long = 1L): Unit = {
+    if (seq.nonEmpty) search(seq) match {
+      case None =>
+        addToTree(new LogCluster(seq, weight))
+      case Some(c) =>
+        val merged = mergeTemplate(seq, c.tokens)
+        c.count += weight
+        if (merged != c.tokens) c.tokens = merged
+    }
+  }
+
+  /** Insert preserving the template verbatim (frozen match-phase dictionary). */
+  def insertFrozen(seq: Vector[String], count: Long): Unit =
+    addToTree(new LogCluster(seq, count))
+
+  def clusters: Vector[MinedCluster] = {
+    val out = Vector.newBuilder[MinedCluster]
+    def walk(n: Node): Unit = {
+      n.clusters.foreach(c => out += MinedCluster(c.tokens, c.count))
+      n.children.valuesIterator.foreach(walk)
+    }
+    rootByLen.valuesIterator.foreach(walk)
+    out.result()
+  }
+}
+
+/** Two-phase distributed Drain (SURVEY.md §2.3 T1).
+  *
+  * The reference's miner is order-dependent (templates mutate as lines arrive,
+  * Drain.py:270-273) and single-threaded. The Spark-first re-expression:
+  *
+  *   (a) '''mine''' — a Drain tree per partition via `mapPartitions`, partial
+  *       cluster lists collected (templates only — tiny) and merged on the
+  *       driver through a fresh tree in deterministic (length, template) order;
+  *   (b) '''match''' — the finalized dictionary is broadcast (frozen tree) and
+  *       every row is matched embarrassingly-parallel with the same
+  *       `seqDist ≥ st` rule; no mutation, fully deterministic.
+  *
+  * Tests' oracle runs the same two phases single-threaded (SURVEY.md §7.3.1).
+  */
+object Drain {
+
+  def md5_8(s: String): String = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    d.take(4).map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** Drain.py:290-293 — chained regex scrub to `<*>`. */
+  def scrub(text: String, regexes: Seq[String]): String =
+    regexes.foldLeft(text)((t, r) => t.replaceAll(r, "<*>"))
+
+  /** Drain.py:258 — whitespace tokenization after scrub. */
+  def tokenize(text: String, scrubRegexes: Seq[String]): Vector[String] =
+    scrub(text, scrubRegexes).trim.split("\\s+").toVector.filter(_.nonEmpty)
+
+  /** Column-side scrub (codegen'd regexp_replace chain) for plan-level use. */
+  def scrubCol(c: Column, regexes: Seq[String]): Column =
+    regexes.foldLeft(c)((col, r) => regexp_replace(col, r, "<*>"))
+
+  /** Phase (a): mine per-partition trees, merge deterministically. */
+  def mine(df: DataFrame, textCol: String, cfg: DrainConfig): Vector[TemplateEntry] = {
+    val scrubRx = cfg.scrub
+    val partials: Array[MinedCluster] =
+      df.select(col(textCol)).na.drop()
+        .mapPartitions { it =>
+          val tree = new DrainTree(cfg)
+          it.foreach(r => tree.insert(tokenize(r.getString(0), scrubRx)))
+          tree.clusters.iterator
+        }(org.apache.spark.sql.Encoders.product[MinedCluster])
+        .collect()
+    mergePartials(partials, cfg)
+  }
+
+  /** Deterministic driver-side merge: replay partials through a fresh tree in
+    * (token-count, template-text, -count) order, then finalize ids/counts.
+    */
+  def mergePartials(partials: Seq[MinedCluster], cfg: DrainConfig): Vector[TemplateEntry] = {
+    val tree = new DrainTree(cfg)
+    partials
+      .sortBy(c => (c.tokens.length, c.tokens.mkString(" "), -c.count))
+      .foreach(c => tree.insert(c.tokens.toVector, c.count))
+    // identical post-merge templates may coexist as distinct clusters → fold
+    tree.clusters
+      .groupBy(_.tokens)
+      .map { case (toks, cs) =>
+        val t = toks.mkString(" ")
+        TemplateEntry(md5_8(t), t, cs.map(_.count).sum)
+      }
+      .toVector
+      .sortBy(t => (-t.occurrences, t.event_template))
+  }
+
+  /** A frozen matcher over a finalized dictionary, broadcast-friendly. */
+  final class Matcher(entries: Seq[TemplateEntry], cfg: DrainConfig) extends Serializable {
+    private val tree = new DrainTree(cfg)
+    entries.foreach(e => tree.insertFrozen(e.event_template.split(" ").toVector, e.occurrences))
+    private val scrubRx = cfg.scrub
+
+    /** Match one raw text → (event_id, event_template). Unmatched rows fall
+      * back to their own digit-masked token sequence (pinned deterministic
+      * rule, SURVEY.md §7.3.2).
+      */
+    def matchText(text: String): (String, String) = {
+      val toks = tokenize(text, scrubRx)
+      tree.search(toks) match {
+        case Some(c) =>
+          val t = c.tokens.mkString(" ")
+          (md5_8(t), t)
+        case None =>
+          val t = toks.map(t => if (t.exists(_.isDigit)) "<*>" else t).mkString(" ")
+          (md5_8(t), t)
+      }
+    }
+  }
+
+  /** Phase (b): append `event_id`, `event_template` by matching `textCol`
+    * against the broadcast dictionary. Narrow (no shuffle), deterministic.
+    */
+  def matchTemplates(df: DataFrame, textCol: String, dict: Seq[TemplateEntry],
+                     cfg: DrainConfig): DataFrame = {
+    val spark   = df.sparkSession
+    val matcher = spark.sparkContext.broadcast(new Matcher(dict, cfg))
+    val matchUdf = udf { text: String =>
+      if (text == null) null else {
+        val (id, tpl) = matcher.value.matchText(text)
+        (id, tpl)
+      }
+    }
+    df.withColumn("__m", matchUdf(col(textCol)))
+      .withColumn("event_id", col("__m._1"))
+      .withColumn("event_template", col("__m._2"))
+      .drop("__m")
+  }
+
+  /** End-to-end parse: mine + match in one call. */
+  def parse(df: DataFrame, textCol: String, cfg: DrainConfig): (DataFrame, Vector[TemplateEntry]) = {
+    val dict = mine(df, textCol, cfg)
+    (matchTemplates(df, textCol, dict, cfg), dict)
+  }
+
+  /** T3 parameter extraction (Drain.py:336-345) — the *intended* semantics:
+    * template `<*>` slots → non-greedy capture groups, other chars literal,
+    * runs of spaces → `\s+`, anchored. (The reference's own implementation
+    * escapes the space before substituting `\s+`, producing `\\s+` — a literal
+    * backslash — so its ParameterList is empty for any multi-token template;
+    * we implement the documented intent and pin it with tests.)
+    */
+  def parameterPattern(template: String): java.util.regex.Pattern = {
+    val normalized = template.replaceAll("<.{1,5}>", "<*>")
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < normalized.length) {
+      if (normalized.startsWith("<*>", i)) { sb.append("(.*?)"); i += 3 }
+      else if (normalized.charAt(i) == ' ') {
+        sb.append("\\s+"); while (i < normalized.length && normalized.charAt(i) == ' ') i += 1
+      } else { sb.append(java.util.regex.Pattern.quote(normalized.charAt(i).toString)); i += 1 }
+    }
+    sb.append("$")
+    java.util.regex.Pattern.compile(sb.toString)
+  }
+
+  /** Column of extracted parameters: `parameters: array<string>`. */
+  def extractParameters(df: DataFrame, textCol: String, templateCol: String): DataFrame = {
+    val extractUdf = udf { (text: String, template: String) =>
+      if (text == null || template == null) Seq.empty[String]
+      else {
+        val m = parameterPattern(template).matcher(text)
+        if (m.matches()) (1 to m.groupCount()).map(m.group) else Seq.empty[String]
+      }
+    }
+    df.withColumn("parameters", extractUdf(col(textCol), col(templateCol)))
+  }
+}

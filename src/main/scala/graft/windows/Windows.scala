@@ -1,0 +1,165 @@
+package graft.windows
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window => W}
+import org.apache.spark.sql.functions._
+
+/** Session grouping & window building (SURVEY.md §2.5 G1-G3, §2.6 W1-W8).
+  *
+  * All operators take the parsed transcripts shape
+  * (conv_id, turn_idx, ts, event_id, ...) and preserve the stable-turn-order
+  * invariant: ordering is always an explicit (conv_id, turn_idx) sort inside
+  * the conversation partition — never file/partition order
+  * (cf. /root/reference/logadempirical/logparser/Drain.py:315-316).
+  *
+  * Scale notes: every window here partitions by conv_id (or a row-bucket),
+  * so the only shuffle is the conv_id hash exchange, which AQE coalesces;
+  * there is no global sort anywhere (SURVEY.md §7.3.3).
+  */
+object Windows {
+
+  private def convW = W.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+
+  /** Epoch micros of ts; tolerant of TIMESTAMP_NTZ parquet reads (session TZ
+    * is pinned to UTC, so the NTZ→TZ cast is the identity).
+    */
+  private def tsMicros = unix_micros(col("ts").cast("timestamp"))
+
+  /** G2 — session grouping by conversation: ordered event sequence + labels.
+    * (logdeep/dataset/session.py:38-58). `sort_array(collect_list(struct))`
+    * makes the collected order deterministic regardless of shuffle order.
+    */
+  def sessionGroup(df: DataFrame, eventCol: String = "event_id",
+                   labelCol: Option[String] = None): DataFrame = {
+    val lbl = labelCol.map(col).getOrElse(lit(0))
+    df.groupBy(col("conv_id"))
+      .agg(
+        sort_array(collect_list(struct(col("turn_idx"), col(eventCol).as("e"), lbl.as("l"))))
+          .as("__s"))
+      .select(
+        col("conv_id"),
+        expr("transform(__s, x -> x.e)").as("events"),
+        expr("transform(__s, x -> x.l)").as("labels"),
+        size(col("__s")).as("n_turns"))
+  }
+
+  /** G3 — session tail truncation: keep only the LAST `n` events of long
+    * sessions (session.py:29-32).
+    */
+  def sessionTail(grouped: DataFrame, n: Int): DataFrame =
+    grouped
+      .withColumn("events", expr(s"slice(events, -least(size(events), $n), least(size(events), $n))"))
+      .withColumn("labels", expr(s"slice(labels, -least(size(labels), $n), least(size(labels), $n))"))
+
+  /** W1 — fixed (entry-count) windows of `size` rows advancing by `step` rows
+    * within each conversation (session.py:132-171). Deterministic window ids =
+    * start row number (SURVEY.md §7.3.2 replaces the reference's Python-set
+    * iteration ids). Overlapping windows (step < size) are produced by
+    * exploding each row into the windows that cover it — shuffle-free blowup
+    * of ceil(size/step), then one conv_id-partitioned aggregation.
+    */
+  def fixedWindows(df: DataFrame, size: Int, step: Int,
+                   eventCol: String = "event_id"): DataFrame = {
+    require(size > 0 && step > 0)
+    val nCover = (size + step - 1) / step
+    val rn     = row_number().over(convW) - 1 // 0-based position in conv
+    df.withColumn("__rn", rn)
+      .withColumn("__k", explode(sequence(lit(0), lit(nCover - 1))))
+      .withColumn("win_start", (floor(col("__rn") / step) - col("__k")) * step)
+      .filter(col("win_start") >= 0 && col("__rn") < col("win_start") + size)
+      .groupBy(col("conv_id"), col("win_start"))
+      .agg(
+        sort_array(collect_list(struct(col("turn_idx"), col(eventCol).as("e")))).as("__s"),
+        count(lit(1)).as("n"))
+      .select(col("conv_id"), col("win_start").cast("long").as("win_start"),
+        expr("transform(__s, x -> x.e)").as("events"), col("n"))
+  }
+
+  /** W2 — time-based sliding windows (seconds) within a conversation
+    * (session.py:62-129). Window id = epoch-anchored bucket start; a row at
+    * time t belongs to buckets floor((t - size)/step)+1 .. floor(t/step) —
+    * expressed as an explode over the ceil(size/step) covering slides.
+    * Empty windows are naturally absent (reference skips them, :108-110).
+    */
+  def timeWindows(df: DataFrame, sizeSec: Long, stepSec: Long,
+                  eventCol: String = "event_id"): DataFrame = {
+    require(sizeSec > 0 && stepSec > 0)
+    val nCover = ((sizeSec + stepSec - 1) / stepSec).toInt
+    val tsSec  = (tsMicros / 1000000L).cast("long")
+    df.withColumn("__sec", tsSec)
+      .withColumn("__k", explode(sequence(lit(0), lit(nCover - 1))))
+      .withColumn("win_start", (floor(col("__sec") / stepSec) - col("__k")) * stepSec)
+      .filter(col("__sec") >= col("win_start") && col("__sec") < col("win_start") + sizeSec)
+      .groupBy(col("conv_id"), col("win_start"))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("turn_idx"), col(eventCol).as("e")))).as("__s"))
+      .select(col("conv_id"), col("win_start"),
+        expr("transform(__s, x -> x.e)").as("events"), col("n"))
+  }
+
+  /** W3 — history sliding window over the event sequence (model-input shape,
+    * logdeep/dataset/sample.py:117-151): for each position, the trailing
+    * `h`-event window plus the next event as label. Pure window-frame ops —
+    * one conv_id exchange, no explode.
+    */
+  def historyWindows(df: DataFrame, h: Int, eventCol: String = "event_id"): DataFrame = {
+    val frame = convW.rowsBetween(-(h - 1), 0)
+    df.select(
+        col("conv_id"), col("turn_idx"),
+        collect_list(col(eventCol)).over(frame).as("history"),
+        lead(col(eventCol), 1).over(convW).as("next_event"))
+      .filter(size(col("history")) === h && col("next_event").isNotNull)
+  }
+
+  /** W7 — deltaT: seconds between consecutive turns, first of conversation
+    * forced 0 (dataset/data_process.py:97-98). Exact integer microseconds.
+    */
+  def deltaT(df: DataFrame): DataFrame =
+    df.withColumn("delta_us",
+      coalesce(tsMicros - lag(tsMicros, 1).over(convW), lit(0L)))
+
+  /** W6 — fixed-length chunking by position (PLELog fixLength,
+    * PLELog/data/DataLoader.py:221-284): chunk id = floor(pos / n).
+    */
+  def chunkBySize(df: DataFrame, n: Int): DataFrame =
+    df.withColumn("chunk_id", floor((row_number().over(convW) - 1) / n))
+
+  /** W5 — anchor-based sessionization (dataset/data_loader.py:173-207): a
+    * sub-session starts at the current row and extends while
+    * ts < anchor_ts + gap. NOT gap-based `session_window` — the anchor only
+    * advances when the bound is crossed, so this is a running scan per
+    * conversation: `mapGroups` over conv-ordered rows (documented semantic,
+    * SURVEY.md §2.6 W5). One shuffle on conv_id; state is O(1) per group.
+    */
+  def anchorSessions(df: DataFrame, gapSec: Long): DataFrame = {
+    import df.sparkSession.implicits._
+    val slim = df.select(col("conv_id"), col("turn_idx"), tsMicros.as("us"))
+      .as[(String, Int, Long)]
+    slim.groupByKey(_._1)
+      .flatMapGroups { (conv, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        var anchor  = Long.MinValue
+        var session = -1
+        rows.iterator.map { case (_, idx, us) =>
+          if (anchor == Long.MinValue || us >= anchor + gapSec * 1000000L) {
+            anchor = us; session += 1
+          }
+          (conv, idx, session)
+        }
+      }
+      .toDF("conv_id", "turn_idx", "session_idx")
+  }
+
+  /** O9 — positional train/test split over the stable global order
+    * (dataset/data_process.py:99): rank rows by (conv_id, turn_idx) and cut at
+    * fraction `trainFrac`. At scale the ntile-style global rank is the only
+    * inherently global step; it is computed with a single range-partitioned
+    * rank (no driver collect).
+    */
+  def positionalSplit(df: DataFrame, trainFrac: Double): DataFrame = {
+    val n = df.count()
+    val cut = math.floor(n * trainFrac).toLong
+    val rn  = row_number().over(W.orderBy(col("conv_id"), col("turn_idx")))
+    df.withColumn("split", when(rn <= cut, lit("train")).otherwise(lit("test")))
+  }
+}
