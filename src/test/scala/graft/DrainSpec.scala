@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.parse.{Drain, DrainConfig, DrainTree, MinedCluster}
+import graft.sources.Transcripts
+
+/** Drain two-phase miner vs a single-threaded oracle (SURVEY.md §5.2.2):
+  * the oracle runs the SAME two phases (sequential tree, then canonical
+  * merge), so Spark-vs-oracle equality is well-defined despite the
+  * reference's order-dependence (Drain.py:270-273).
+  */
+class DrainSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val cfg = DrainConfig(depth = 4, st = 0.4, maxChild = 100)
+
+  /** Single-threaded oracle: sequential Drain over all texts, then the same
+    * canonical merge used by the distributed path.
+    */
+  def oracleMine(texts: Seq[String]): Vector[graft.parse.TemplateEntry] = {
+    val tree = new DrainTree(cfg)
+    texts.foreach(t => tree.insert(Drain.tokenize(t, cfg.scrub)))
+    Drain.mergePartials(tree.clusters, cfg)
+  }
+
+  def syntheticTexts(n: Int): Seq[String] = {
+    val rng = new scala.util.Random(7)
+    (0 until n).map { i =>
+      rng.nextInt(4) match {
+        case 0 => s"request ${rng.nextInt(1000)} handled in ${rng.nextInt(500)} ms"
+        case 1 => s"tool ${rng.nextInt(9)} returned status code ${rng.nextInt(5)}"
+        case 2 => s"worker ${rng.nextInt(30)} flushed ${rng.nextInt(9999)} bytes to disk segment ${rng.nextInt(9)}"
+        case _ => s"session opened by user ${rng.nextInt(100)}"
+      }
+    }
+  }
+
+  test("md5_8 matches the reference id scheme (md5 hex prefix 8)") {
+    // hashlib.md5('user <*> clicked element <*>').hexdigest()[:8]
+    assert(Drain.md5_8("user <*> clicked element <*>") === "9aaad093")
+    assert(Drain.md5_8("") === "d41d8cd9")
+  }
+
+  test("distributed mine == single-threaded oracle on synthetic corpus") {
+    import spark.implicits._
+    val texts = syntheticTexts(2000)
+    val df = texts.toDF("text").repartition(8)
+    val mined = Drain.mine(df, "text", cfg)
+    val oracle = oracleMine(texts)
+    assert(mined === oracle)
+    assert(mined.map(_.occurrences).sum === 2000L)
+  }
+
+  test("mine is invariant to partitioning (2 vs 16 partitions)") {
+    import spark.implicits._
+    val texts = syntheticTexts(1500)
+    val a = Drain.mine(texts.toDF("text").repartition(2), "text", cfg)
+    val b = Drain.mine(texts.toDF("text").repartition(16), "text", cfg)
+    assert(a === b)
+  }
+
+  test("templates converge to digit-masked text and match phase-b assigns them") {
+    import spark.implicits._
+    val texts = syntheticTexts(1000)
+    val df = texts.toDF("text")
+    val (parsed, dict) = Drain.parse(df, "text", cfg)
+    val expected = texts.map(_.replaceAll("[0-9]+", "<*>")).distinct.sorted
+    assert(dict.map(_.event_template).sorted === expected.toVector)
+    val rows = parsed.select("text", "event_template").collect()
+    rows.foreach { r =>
+      assert(r.getString(1) === r.getString(0).replaceAll("[0-9]+", "<*>"))
+    }
+  }
+
+  test("parameter extraction inverts template instantiation (property, 200 seeded cases)") {
+    val rng = new scala.util.Random(11)
+    (1 to 200).foreach { _ =>
+      val ws = (1 to 1 + rng.nextInt(5)).map(_ =>
+        (1 to 1 + rng.nextInt(6)).map(_ => ('a' + rng.nextInt(26)).toChar).mkString)
+      val ps = (1 to 3).map(_ => rng.nextInt(100000))
+      val template = s"${ws.mkString(" ")} <*> did <*> then <*>"
+      val text     = s"${ws.mkString(" ")} ${ps(0)} did ${ps(1)} then ${ps(2)}"
+      val m = Drain.parameterPattern(template).matcher(text)
+      assert(m.matches(), s"no match: $template vs $text")
+      assert((1 to 3).map(m.group) === ps.map(_.toString))
+    }
+  }
+
+  test("merge folds identical templates and sums occurrences") {
+    val partials = Seq(
+      MinedCluster(Vector("job", "<*>", "done"), 10),
+      MinedCluster(Vector("job", "7", "done"), 3),
+      MinedCluster(Vector("job", "<*>", "done"), 5))
+    val merged = Drain.mergePartials(partials, cfg)
+    assert(merged.size === 1)
+    assert(merged.head.event_template === "job <*> done")
+    assert(merged.head.occurrences === 18L)
+  }
+
+  test("matcher falls back to digit-masked tokens for unknown shapes") {
+    val m = new Drain.Matcher(Seq(graft.parse.TemplateEntry("x", "alpha beta", 1)), cfg)
+    val (_, tpl) = m.matchText("never seen 42 before today at all")
+    assert(tpl === "never seen <*> before today at all")
+  }
+
+  test("full parse on the events-derived transcripts yields the 5 expected templates") {
+    val t = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+    val dict = Drain.mine(t, "text", cfg)
+    assert(dict.map(_.event_template).toSet === Set(
+      "user <*> clicked element <*>",
+      "new signup from user <*> region <*>",
+      "user <*> viewed page <*> for <*> seconds",
+      "user <*> purchased item <*> at price <*> credits",
+      "error <*> for user <*> at stage <*> retry limit"))
+    assert(dict.map(_.occurrences).sum === 1000L)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.route.Router
+import java.nio.file.Files
+
+class RouterSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def tmp(): String = Files.createTempDirectory("graft-router").toString
+
+  test("fanOut: union of per-sink counts == input count (router conservation)") {
+    val df = (0 until 300).map(i => (s"r${i % 4}", i)).toDF("route", "v")
+    val dir = tmp()
+    val metrics = Router.fanOut(df, "route", dir)
+    assert(metrics.map(_.rows).sum === 300L)
+    assert(metrics.map(_.route).sorted === Seq("r0", "r1", "r2", "r3"))
+    // routed-row equality: rows land in their route's partition directory
+    val back = spark.read.parquet(s"$dir/data")
+    assert(back.filter(col("route") =!= substring(col("route"), 1, 2)).count() === 0L)
+    assert(back.count() === 300L)
+  }
+
+  test("fanOut with train dedup dedups only the requested columns") {
+    val df = Seq(("t", "a b"), ("t", "a b"), ("t", "c"), ("u", "a b"), ("u", "a b"))
+      .toDF("route", "seq")
+    val dir = tmp()
+    // dedup applies to the whole frame pre-routing (train semantics,
+    // dataset/data_process.py:163-176): distinct (route, seq)
+    val metrics = Router.fanOut(df, "route", dir, train = true, dedupCols = Seq("route", "seq"))
+    assert(metrics.map(m => m.route -> m.rows).toMap === Map("t" -> 2L, "u" -> 1L))
+  }
+
+  test("stage: checkpoint-resume skips completed stages, outputs identical") {
+    val dir = tmp()
+    var computed = 0
+    def run() = Router.stage(spark, dir) {
+      computed += 1
+      (0 until 50).map(i => (i, i * 2)).toDF("a", "b")
+    }
+    val first  = run().orderBy("a").collect()
+    val second = run().orderBy("a").collect() // must not recompute
+    assert(computed === 1)
+    assert(first === second)
+    assert(Router.isComplete(dir))
+  }
+}

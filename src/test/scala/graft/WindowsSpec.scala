@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.windows.Windows
+import graft.sources.Transcripts
+
+class WindowsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def turns(convLens: Map[String, Int]) = {
+    val rows = convLens.toSeq.sortBy(_._1).flatMap { case (c, n) =>
+      (0 until n).map(i => (c, i, s"e${i % 3}",
+        new java.sql.Timestamp(1700000000000L + i * 1000L)))
+    }
+    rows.toDF("conv_id", "turn_idx", "event_id", "ts").repartition(5)
+  }
+
+  test("sessionGroup collects events in turn order regardless of partitioning") {
+    val g = Windows.sessionGroup(turns(Map("a" -> 7, "b" -> 3)))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(g("a") === (0 until 7).map(i => s"e${i % 3}"))
+    assert(g("b") === Seq("e0", "e1", "e2"))
+  }
+
+  test("sessionTail keeps the LAST n events (session.py:29-32 semantics)") {
+    val t = Windows.sessionTail(Windows.sessionGroup(turns(Map("a" -> 7))), 4)
+      .select("events").as[Seq[String]].head()
+    assert(t === Seq("e0", "e1", "e2", "e0")) // turns 3,4,5,6 → e0 e1 e2 e0
+  }
+
+  test("fixedWindows tiling: every row covered exactly ceil(size/step) times (interior)") {
+    val df = Windows.fixedWindows(turns(Map("a" -> 20)), size = 4, step = 2)
+    val rows = df.select("win_start", "n").as[(Long, Long)].collect().toMap
+    // interior windows full (n=4); starts are multiples of step
+    assert(rows.keySet === (0 to 18 by 2).map(_.toLong).toSet)
+    (0 to 16 by 2).foreach(s => assert(rows(s.toLong) === 4L))
+    assert(rows(18L) === 2L) // tail window partially filled
+    // conservation: sum of covered positions = rows × coverage – boundary deficit
+    val total = rows.values.sum
+    assert(total === df.select(sum(size(col("events")))).as[Long].head())
+  }
+
+  test("timeWindows buckets rows into sliding time spans") {
+    // rows at t=0s..9s, window size 4s step 2s
+    val df = turns(Map("a" -> 10))
+    val w = Windows.timeWindows(df, sizeSec = 4, stepSec = 2)
+    val m = w.select("win_start", "n").as[(Long, Long)].collect().toMap
+    val t0 = 1700000000L
+    // every full 4s span holds 4 rows (1 row/sec)
+    assert(m(t0) === 4L); assert(m(t0 + 2) === 4L); assert(m(t0 + 4) === 4L)
+    assert(m(t0 - 2) === 2L) // leading partial
+    assert(m(t0 + 8) === 2L) // trailing partial
+  }
+
+  test("historyWindows emits trailing h-window + next event label") {
+    val h = Windows.historyWindows(turns(Map("a" -> 6)), h = 3)
+      .orderBy("turn_idx")
+      .select("turn_idx", "history", "next_event")
+      .as[(Int, Seq[String], String)].collect()
+    assert(h.length === 3) // positions 2,3,4 (5 has no next)
+    assert(h(0) === ((2, Seq("e0", "e1", "e2"), "e0")))
+    assert(h(2) === ((4, Seq("e2", "e0", "e1"), "e2")))
+  }
+
+  test("deltaT: first turn of conversation forced to 0, others exact micros") {
+    val d = Windows.deltaT(turns(Map("a" -> 3, "b" -> 2)))
+      .select("conv_id", "turn_idx", "delta_us").as[(String, Int, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(d(("a", 0)) === 0L)
+    assert(d(("a", 1)) === 1000000L)
+    assert(d(("b", 0)) === 0L)
+  }
+
+  test("anchorSessions: anchor-based (not gap-based) segmentation") {
+    // gaps: rows every 1s, gap bound 3s → sessions of 3 rows each from anchor
+    val rows = Seq(0L, 1L, 2L, 3L, 4L, 7L).map(s =>
+      ("c", s.toInt, new java.sql.Timestamp(1700000000000L + s * 1000L)))
+    val df = rows.toDF("conv_id", "turn_idx", "ts")
+    val got = Windows.anchorSessions(df, gapSec = 3)
+      .orderBy("turn_idx").select("session_idx").as[Int].collect().toSeq
+    // anchor at t=0 covers t<3 (rows 0,1,2); next anchor t=3 covers t<6 (3,4); then 7
+    assert(got === Seq(0, 0, 0, 1, 1, 2))
+  }
+
+  test("chunkBySize assigns floor(pos/n) chunk ids") {
+    val c = Windows.chunkBySize(turns(Map("a" -> 7)), 3)
+      .orderBy("turn_idx").select("chunk_id").as[Long].collect().toSeq
+    assert(c === Seq(0, 0, 0, 1, 1, 1, 2))
+  }
+
+  test("positionalSplit cuts at the stable (conv_id, turn_idx) global order") {
+    val s = Windows.positionalSplit(turns(Map("a" -> 6, "b" -> 4)), 0.7)
+    assert(s.filter(col("split") === "train").count() === 7L)
+    // first 7 in (conv_id, turn_idx) order: all of a (6) + b:0
+    val trainB = s.filter(col("split") === "train" && col("conv_id") === "b")
+      .select("turn_idx").as[Int].collect().toSeq
+    assert(trainB === Seq(0))
+  }
+
+  test("synthetic transcripts generator is deterministic and heavy-tailed") {
+    val a = Transcripts.synthetic(spark, 200, seed = 42L)
+    val b = Transcripts.synthetic(spark, 200, seed = 42L)
+    assert(a.count() === b.count())
+    assert(a.exceptAll(b).isEmpty)
+    val lens = a.groupBy("conv_id").count().select("count").as[Long].collect()
+    assert(lens.max > 10 * (lens.sum / lens.length)) // heavy tail present
+  }
+}
