@@ -1,24 +1,72 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Transcripts
+import graft.pipeline.Pipeline
+
+/** Per-round benchmark main (driver contract): headline queries on
+  * SPARK_GRAFT_SF_DIR, ONE JSON line on stdout.
+  *
+  * "pipeline" is the end-to-end parse→enrich→route→window→aggregate job
+  * (the north-rule metric); the remaining entries time individual operators
+  * (forced through a noop sink so column pruning can't skip work).
+  */
 object Bench {
+
+  def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a  = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var turns = 0L
+
+    // end-to-end pipeline (includes routed sink writes + metrics)
+    val (res, tPipe) = timed {
+      Pipeline.run(spark, Transcripts.fromEvents(spark, sfDir), s"$work/pipe")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    turns = res.turns
+    results += "pipeline" -> tPipe
+
+    // individual operators
+    val singles = Seq(
+      "parse_structured" -> SparkEntry.queries("q_parse_structured"),
+      "session_seq"      -> SparkEntry.queries("q_session_seq"),
+      "fixed_window"     -> SparkEntry.queries("q_fixed_window"),
+      "history_window"   -> SparkEntry.queries("q_history"),
+      "tfidf"            -> SparkEntry.queries("q_tfidf"),
+      "deltat"           -> SparkEntry.queries("q_deltat"),
+      "q1_agg"           -> SparkEntry.queries("q1_agg")
+    )
+    singles.foreach { case (name, fn) =>
+      val (_, t) = timed(force(fn(spark, sfDir)))
+      results += name -> t
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    val tput  = if (tPipe > 0) turns / tPipe else 0.0
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$turns,"pipeline_turns_per_sec":$tput%.1f}""")
     spark.stop()
   }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.sources.Transcripts
+import graft.pipeline.Pipeline
+
+/** Scaling-efficiency evidence (BASELINE.json: ≥0.8 from N to 4N executors;
+  * sandbox proxy per the driver note: the SAME job on the SAME input at
+  * local[8] vs local[32]).
+  *
+  * Generates a seeded synthetic transcripts table once, then runs the full
+  * parse→enrich→route→window→aggregate pipeline at both parallelism levels,
+  * reporting turns/sec at each and efficiency = (tput32 / tput8) / 4.
+  */
+object ScalingBench {
+
+  private def session(cpus: Int, tag: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-scaling-$tag")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nConv = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "100000").toInt
+    val tmp   = java.nio.file.Files.createTempDirectory("graft-scaling").toString
+    val input = s"$tmp/transcripts"
+
+    // generate once (32 cores — generation is not part of the measurement)
+    locally {
+      val s = session(32, "gen")
+      Transcripts.synthetic(s, nConv, seed = 42L, partitions = 64)
+        .write.mode("overwrite").parquet(input)
+      s.stop()
+    }
+
+    def run(cpus: Int): (Long, Double) = {
+      val s  = session(cpus, s"run$cpus")
+      val t0 = System.nanoTime()
+      val res = Pipeline.run(s, s.read.parquet(input), s"$tmp/work$cpus")
+      val dt = (System.nanoTime() - t0) / 1e9
+      // routed-row conservation must hold at every parallelism level
+      require(res.routes.map(_.rows).sum == res.turns,
+        s"router conservation violated at local[$cpus]")
+      s.stop()
+      (res.turns, dt)
+    }
+
+    val (turns8, t8)   = run(8)
+    val (turns32, t32) = run(32)
+    require(turns8 == turns32, "same input must yield same turn count")
+    val tput8  = turns8 / t8
+    val tput32 = turns32 / t32
+    val eff    = (tput32 / tput8) / 4.0
+    println(
+      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","turns":$turns8,"local8":{"sec":$t8%.2f,"turns_per_sec":$tput8%.1f},"local32":{"sec":$t32%.2f,"turns_per_sec":$tput32%.1f}}""")
+  }
+}

@@ -8,6 +8,10 @@ import graft.parse.{Drain, DrainConfig}
 import graft.windows.Windows
 import graft.agg.Features
 import graft.enrich.Enrich
+import graft.dedup.Dedup
+import graft.ann.Similarity
+import graft.text.TextAnalysis
+import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -166,6 +170,81 @@ object SparkEntry {
       Enrich.convLabels(t.select("conv_id", "turn_idx"), labels)
     },
 
+    // ---- training-data pipeline operators (documents / embeddings) -------
+
+    // exact dedup by content digest.
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    },
+
+    // exact trigram-Jaccard near-dup pairs (the LSH path's ground truth).
+    "q_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", n = 3, tau = 0.3)
+    },
+
+    // MinHash+LSH near-dup pairs (approximate; verified in ScalaTest vs the
+    // exact pairs — no SQL oracle, DuckDB lacks xxhash64).
+    "q_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", n = 3, numHashes = 24, bands = 8, tau = 0.3)
+    },
+
+    // SimHash fingerprints (no SQL oracle — hash not in DuckDB).
+    "q_simhash" -> { (s, dir) =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+    },
+
+    // brute-force cosine top-k ANN baseline.
+    "q_ann_brute" -> { (s, dir) =>
+      Similarity.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", queryIds = (0L until 10L), k = 5)
+    },
+
+    // LSH-bucketed ANN (approximate; recall vs brute force in ScalaTest).
+    "q_ann_lsh" -> { (s, dir) =>
+      Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", queryIds = (0L until 10L), k = 5)
+    },
+
+    // embedding-cosine near-dup pairs (brute-force baseline).
+    "q_embed_dedup" -> { (s, dir) =>
+      Dedup.embeddingCosinePairs(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", tau = 0.35)
+    },
+
+    // language-ID + quality scoring.
+    "q_lang_quality" -> { (s, dir) =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.qualityFeatures(d, "text")
+        .withColumn("lang_id", TextAnalysis.langId(col("text")))
+        .select("doc_id", "lang_id", "n_chars", "n_tokens", "avg_token_len",
+          "stopword_ratio", "alpha_ratio", "quality_score")
+    },
+
+    // token counting: whitespace + BPE-ish regex.
+    "q_token_count" -> { (s, dir) =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+    },
+
+    // document fingerprinting: normalized md5 + rolling min-hash.
+    "q_fingerprint" -> { (s, dir) =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.rollingMinFingerprint(col("text"), 16).as("roll_fp"))
+    },
+
+    // multimodal plumbing: binary media column → (stub-)decoded features.
+    "q_media_features" -> { (s, dir) =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Multimodal.extractFeatures(Multimodal.asMedia(d, "doc_id", "text")).toDF()
+    },
+
     // sanity: TPC-H-ish aggregate over lineitem.
     "q1_agg" -> { (s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -279,6 +358,107 @@ object SparkEntry {
         |  FROM transcripts GROUP BY conv_id)
         |SELECT t.conv_id, t.turn_idx, coalesce(l.label, 0) AS label
         |FROM transcripts t LEFT JOIN labels l USING (conv_id)""".stripMargin),
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS rep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |sh AS (SELECT DISTINCT id, array_to_string(t[i:i+2], ' ') AS sh
+        |       FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
+        |SELECT id_a, id_b, common,
+        |       round(common * 1.0 / (x.sz + y.sz - common), 4) AS jaccard
+        |FROM inter JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
+        |WHERE round(common * 1.0 / (x.sz + y.sz - common), 4) >= 0.3""".stripMargin,
+
+    "q_ann_brute" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM v),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, b.vec_id AS id,
+        |         round(list_dot_product(q.v, b.v) / (q.norm * b.norm), 4) AS cosine
+        |  FROM n q, n b WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id)
+        |SELECT qid, CAST(rank AS INT) AS rank, id AS neighbor_id, cosine FROM (
+        |  SELECT qid, id, cosine,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
+    "q_embed_dedup" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM v)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS cosine
+        |FROM n a, n b
+        |WHERE a.vec_id < b.vec_id
+        |  AND round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= 0.35""".stripMargin,
+
+    "q_lang_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CAST(length(text) AS INT) AS n_chars,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        x -> list_contains(['der','die','das','und','nicht','ist'], x))) AS s_de,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        x -> list_contains(['the','a','of','and','is','to'], x))) AS s_en,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        x -> list_contains(['el','la','los','que','y','es'], x))) AS s_es,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        x -> list_contains(['le','la','les','et','est','une'], x))) AS s_fr,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        x -> list_contains(['de','shi','le','bu','wo','zai'], x))) AS s_zh,
+        |    round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0 /
+        |          greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) AS avg_token_len,
+        |    round(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |          x -> list_contains(['the','a','of','and','is','to'], x))) * 1.0 /
+        |          greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) AS stopword_ratio,
+        |    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 /
+        |          greatest(length(text), 1), 4) AS alpha_ratio
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_id,
+        |  n_chars, n_tokens, avg_token_len, stopword_ratio, alpha_ratio,
+        |  round(least(1.0, (least(n_tokens, 200) / 200.0) * 0.4 + alpha_ratio * 0.4 +
+        |        least(stopword_ratio * 4.0, 1.0) * 0.2), 4) AS quality_score
+        |FROM f""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpeish_tokens
+        |FROM documents""".stripMargin,
+
+    "q_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents)
+        |SELECT doc_id, md5(norm) AS fp,
+        |  CASE WHEN length(norm) < 16 THEN md5(norm)
+        |       ELSE list_min(list_transform(range(1, length(norm) - 14),
+        |                     i -> md5(substr(norm, CAST(i AS INT), 16)))) END AS roll_fp
+        |FROM n""".stripMargin,
+
+    "q_media_features" ->
+      """SELECT doc_id,
+        |  CASE ascii(substr(md5(text), 1, 1)) % 3 WHEN 0 THEN 'image'
+        |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(length(text) AS INT) AS byte_len,
+        |  CAST((ascii(substr(md5(text), 1, 1)) * 256 + ascii(substr(md5(text), 2, 1))) % 1920 AS INT) AS width,
+        |  CAST((ascii(substr(md5(text), 3, 1)) * 256 + ascii(substr(md5(text), 4, 1))) % 1080 AS INT) AS height,
+        |  CAST((ascii(substr(md5(text), 5, 1)) * 256 + ascii(substr(md5(text), 6, 1))) * 10 AS INT) AS duration_ms,
+        |  md5(text) AS digest
+        |FROM documents""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

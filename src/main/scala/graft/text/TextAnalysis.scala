@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language-ID heuristic,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column expressions (codegen'd) — no UDF anywhere.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish token count: alpha runs, digit runs, and single other symbols —
+    * the standard cheap proxy for subword token counts.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Marker-word language-ID: score per language = #tokens in that
+    * language's marker set; winner = max score, ties broken by language code
+    * ascending (deterministic). An n-gram heuristic in the character-free
+    * limit — adequate for pipeline plumbing; swap the marker table for real
+    * profiles in production.
+    */
+  val markers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "es" -> Seq("el", "la", "los", "que", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai")
+  )
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      lang -> size(filter(tokens(text), t => t.isInCollection(ws)))
+    }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    // argmax with lang-asc tie-break: fold keeping (bestScore, bestLang)
+    scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+      case ((bestS, bestL), (lang, s)) =>
+        (when(s > bestS, s).otherwise(bestS),
+         when(s > bestS, lit(lang)).otherwise(bestL))
+    }._2
+  }
+
+  /** Quality features + a deterministic composite score in [0, 1]:
+    * length, token stats, stopword ratio, alpha ratio. Formula is arbitrary
+    * but pinned; the point is the single-pass column-expression shape.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t    = col(textCol)
+    val toks = tokens(t)
+    val stop = markers("en")
+    df.withColumn("n_chars", length(t))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("avg_token_len",
+        round(length(regexp_replace(t, "\\s+", "")).cast("double") /
+          greatest(size(toks), lit(1)), 4))
+      .withColumn("stopword_ratio",
+        round(size(filter(toks, x => x.isInCollection(stop))).cast("double") /
+          greatest(size(toks), lit(1)), 4))
+      .withColumn("alpha_ratio",
+        round(length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") /
+          greatest(length(t), lit(1)), 4))
+      .withColumn("quality_score",
+        round(least(lit(1.0),
+          (least(col("n_tokens"), lit(200)) / lit(200.0)) * lit(0.4) +
+            col("alpha_ratio") * lit(0.4) +
+            least(col("stopword_ratio") * lit(4.0), lit(1.0)) * lit(0.2)), 4))
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized lowercase text —
+    * the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Winnowing-style rolling fingerprint: the minimum md5 over all `w`-char
+    * windows of the normalized text (a 1-fingerprint winnow — enough to
+    * catch large overlapping chunks; extend to per-window minima for real
+    * winnowing).
+    */
+  def rollingMinFingerprint(text: Column, w: Int = 16): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    when(length(norm) < w, md5(norm)).otherwise(
+      array_min(transform(sequence(lit(1), length(norm) - (w - 1)),
+        i => md5(norm.substr(i, lit(w))))))
+  }
+}

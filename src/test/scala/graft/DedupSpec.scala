@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.ann.Similarity
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Synthetic near-dup corpus: base docs + mutated copies. */
+  def corpus = {
+    val rng  = new scala.util.Random(5)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val bases = (0 until 30).map(i =>
+      (0 until 30).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+    val rows = bases.zipWithIndex.flatMap { case (b, i) =>
+      val toks = b.split(" ")
+      // near-dup: mutate one token
+      val mutated = toks.updated(rng.nextInt(toks.length), "OMEGA").mkString(" ")
+      Seq((i.toLong * 3, b), (i.toLong * 3 + 1, b), (i.toLong * 3 + 2, mutated))
+    }
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup: one row per distinct text, multiplicities conserved") {
+    val e = Dedup.exact(corpus, "doc_id", "text")
+    assert(e.count() === 60L) // 30 distinct bases (x2 copies) + 30 mutated
+    assert(e.agg(sum("n_copies")).as[Long].head() === 90L)
+    assert(e.filter(col("n_copies") === 2).count() === 30L)
+  }
+
+  test("minhash LSH finds every exact-duplicate pair and most near-dups") {
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3,
+      numHashes = 24, bands = 12, tau = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // LSH verifies candidates with exact Jaccard → precision 1 by construction
+    assert(lsh.subsetOf(exact))
+    // identical pairs (jaccard 1.0) are always found (identical signatures)
+    val identical = exact.filter { case (a, b) => b == a + 1 && a % 3 == 0 }
+    assert(identical.subsetOf(lsh))
+    // overall recall reasonable on this corpus
+    assert(lsh.size.toDouble / exact.size >= 0.8,
+      s"LSH recall ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash: identical texts identical, near-dups within small hamming distance") {
+    val df = corpus.select(col("doc_id"),
+      Dedup.simhash64(col("text")).as("sh"))
+    val m = df.as[(Long, Long)].collect().toMap
+    (0 until 30).foreach { i =>
+      assert(m(i * 3L) === m(i * 3L + 1)) // exact copies
+      val hd = java.lang.Long.bitCount(m(i * 3L) ^ m(i * 3L + 2))
+      assert(hd <= 16, s"near-dup hamming $hd too large") // 1-token mutation
+    }
+  }
+
+  test("embedding cosine pairs: finds planted near-duplicate vectors") {
+    val rng = new scala.util.Random(9)
+    def vec() = Array.fill(16)(rng.nextFloat() * 2 - 1)
+    val base = (0 until 20).map(i => (i.toLong, vec()))
+    // plant near-dups: id+100 = slightly perturbed copy
+    val rows = base ++ base.map { case (i, v) =>
+      (i + 100, v.map(x => x + 0.01f * rng.nextFloat()))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosinePairs(df, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0 until 20).foreach(i => assert(pairs.contains((i.toLong, i + 100L))))
+  }
+
+  test("ANN LSH: planted nearest neighbors always found; decent recall on random tail") {
+    val rng = new scala.util.Random(13)
+    def vec() = Array.fill(32)(rng.nextFloat() * 2 - 1)
+    val base = (0 until 200).map(i => (i.toLong, vec()))
+    // plant a true near-neighbor (cos ≈ 1) for each query id 0..4
+    val planted = (0 until 5).map { i =>
+      val v = base(i)._2
+      (500L + i, v.map(x => x + 0.001f))
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val qids = (0L until 5L)
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", qids, 10)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(df, "vec_id", "embedding", qids, 10,
+      nPlanes = 4, tables = 12)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    // the planted twin is rank 1 for its query in both paths
+    (0 until 5).foreach { i =>
+      assert(brute.contains((i.toLong, 500L + i)))
+      assert(lsh.contains((i.toLong, 500L + i)), s"planted NN missed for q$i")
+    }
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"ANN recall $recall")
+  }
+}
