@@ -40,8 +40,20 @@ object ScalingBench {
       s.stop()
     }
 
+    // small warmup input: the measurement should capture steady-state
+    // throughput, not first-run JIT/codegen compilation (measured: the first
+    // groupBy+collect_list at local[32] runs ~10× slower than the second)
+    val warm = s"$tmp/warm"
+    locally {
+      val s = session(32, "warmgen")
+      Transcripts.synthetic(s, 20000, seed = 7L, partitions = 32)
+        .write.mode("overwrite").parquet(warm)
+      s.stop()
+    }
+
     def run(cpus: Int): (Long, Double) = {
-      val s  = session(cpus, s"run$cpus")
+      val s = session(cpus, s"run$cpus")
+      Pipeline.run(s, s.read.parquet(warm), s"$tmp/warmup$cpus") // JIT warmup
       val t0 = System.nanoTime()
       val res = Pipeline.run(s, s.read.parquet(input), s"$tmp/work$cpus")
       val dt = (System.nanoTime() - t0) / 1e9

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.Transcripts
 import graft.parse.{Drain, DrainConfig}
 import graft.windows.Windows
-import graft.agg.Features
+import graft.agg.{Features, Preprocessing}
 import graft.enrich.Enrich
 import graft.dedup.Dedup
 import graft.ann.Similarity
@@ -168,6 +168,96 @@ object SparkEntry {
       val labels = t.groupBy(col("conv_id"))
         .agg(max(when(col("role") === "tool", 1).otherwise(0)).as("label"))
       Enrich.convLabels(t.select("conv_id", "turn_idx"), labels)
+    },
+
+    // T4 — Spell (LCS) miner: alternate parser, same dictionary contract.
+    "q_spell_templates" -> { (s, dir) =>
+      val dict = graft.parse.Spell.mine(transcripts(s, dir), "text", tau = 0.5)
+      s.createDataFrame(dict).select(
+        col("event_id"), col("event_template"), col("occurrences"))
+    },
+
+    // T4(b) — Spell per-turn match.
+    "q_spell_structured" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+      val (p, _) = graft.parse.Spell.parse(t, "text", tau = 0.5)
+      p.select("conv_id", "turn_idx", "event_id", "event_template")
+    },
+
+    // G6 — word vocab with min_freq + special tokens.
+    "q_word_vocab" -> { (s, dir) =>
+      val words = s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      Preprocessing.wordVocab(words, "word", minFreq = 10)
+    },
+
+    // G10 — OOV fold: rare keys (here: the first numeric parameter) folded.
+    "q_oov_fold" -> { (s, dir) =>
+      val cv = transcripts(s, dir)
+        .withColumn("event_id", regexp_extract(col("text"), "[0-9]+", 0))
+        .groupBy("conv_id", "event_id").agg(count(lit(1)).as("cnt"))
+      Preprocessing.oovFold(cv, Seq("conv_id"), minCount = 5)
+    },
+
+    // O4 — threshold sweep over (deltaT, truth) with F1 per threshold.
+    "q_threshold_sweep" -> { (s, dir) =>
+      val scored = Windows.deltaT(transcripts(s, dir))
+        .withColumn("truth", when(col("role") === "tool", 1).otherwise(0))
+      Preprocessing.thresholdSweep(scored, "delta_us", "truth",
+        Seq(0.0, 6.0e7, 6.0e8, 3.6e9))
+    },
+
+    // S10 — head-N sampler in stable order.
+    "q_head_sample" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+        .withColumn("label", when(col("role") === "tool", 1).otherwise(0))
+      Preprocessing.headSample(t, 500, Seq("conv_id", "turn_idx"), "label")._1
+        .select("conv_id", "turn_idx", "label")
+    },
+
+    // F9 — pad-left / tail-truncate session sequences to fixed length.
+    "q_pad_truncate" -> { (s, dir) =>
+      Windows.sessionGroup(parsed(s, dir))
+        .select(col("conv_id"),
+          array_join(Preprocessing.padOrTruncateLeft(col("events"), 100, "<pad>"), " ")
+            .as("padded"))
+    },
+
+    // G9a — zero-mean normalization of count vectors.
+    "q_zero_mean" -> { (s, dir) =>
+      val cv = Features.countVectors(parsed(s, dir), Seq("conv_id"))
+      Preprocessing.zeroMean(cv)
+        .select(col("conv_id"), col("event_id"), col("cnt"),
+          round(col("cnt_centered"), 4).as("cnt_centered"))
+    },
+
+    // G9b — sigmoid on nonzero counts.
+    "q_sigmoid" -> { (s, dir) =>
+      val cv = Features.countVectors(parsed(s, dir), Seq("conv_id"))
+      Preprocessing.sigmoidNonzero(cv)
+        .select(col("conv_id"), col("event_id"), col("cnt"),
+          round(col("cnt_sigmoid"), 6).as("cnt_sigmoid"))
+    },
+
+    // G15 — element-wise embedding sums per label (exploded form).
+    "q_sum_vectors" -> { (s, dir) =>
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), (col("pos") + 1).cast("int").as("dim"))
+        .agg(round(sum(col("x").cast("double")), 6).as("s"))
+    },
+
+    // W4 — logbert-style chunking of session sequences.
+    "q_chunk" -> { (s, dir) =>
+      Preprocessing.chunkSequence(Windows.sessionGroup(parsed(s, dir)), "events", 10)
+        .select(col("conv_id"), col("chunk_idx"),
+          array_join(col("chunk"), " ").as("chunk"))
+    },
+
+    // W5 — anchor-based sessionization (mapGroups scan; ScalaTest-verified,
+    // no SQL oracle: the anchor recursion is not expressible in one pass).
+    "q_anchor_sessions" -> { (s, dir) =>
+      Windows.anchorSessions(transcripts(s, dir), gapSec = 86400)
     },
 
     // ---- training-data pipeline operators (documents / embeddings) -------
@@ -358,6 +448,93 @@ object SparkEntry {
         |  FROM transcripts GROUP BY conv_id)
         |SELECT t.conv_id, t.turn_idx, coalesce(l.label, 0) AS label
         |FROM transcripts t LEFT JOIN labels l USING (conv_id)""".stripMargin),
+
+    // Spell converges to the same digit-masked dictionary on this corpus.
+    "q_spell_templates" -> withP(
+      """SELECT event_id, event_template, count(*) AS occurrences
+        |FROM parsed GROUP BY 1, 2""".stripMargin),
+
+    "q_spell_structured" -> withP(
+      """SELECT conv_id, turn_idx, event_id, event_template FROM parsed""".stripMargin),
+
+    "q_word_vocab" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents),
+        |c AS (SELECT word, count(*) AS freq FROM w GROUP BY 1 HAVING count(*) >= 10)
+        |SELECT word, freq, CAST(row_number() OVER (ORDER BY freq DESC, word ASC) + 2 AS INT) AS vocab_id FROM c
+        |UNION ALL SELECT '<pad>', 0, 1
+        |UNION ALL SELECT '<unk>', 0, 2""".stripMargin,
+
+    "q_oov_fold" -> withT(
+      """, cv AS (
+        |  SELECT conv_id, regexp_extract(text, '[0-9]+') AS event_id, count(*) AS cnt
+        |  FROM transcripts GROUP BY 1, 2),
+        |keep AS (SELECT event_id FROM cv GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT conv_id,
+        |       CASE WHEN k.event_id IS NULL THEN '__oov__' ELSE cv.event_id END AS event_id,
+        |       CAST(sum(cnt) AS BIGINT) AS cnt
+        |FROM cv LEFT JOIN keep k ON cv.event_id = k.event_id
+        |GROUP BY 1, 2""".stripMargin),
+
+    "q_threshold_sweep" -> withT(
+      """, d AS (
+        |  SELECT coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx), 0) AS s,
+        |         CASE WHEN role = 'tool' THEN 1 ELSE 0 END AS t
+        |  FROM transcripts),
+        |g AS (SELECT * FROM (VALUES (0.0), (60000000.0), (600000000.0), (3600000000.0)) v(threshold)),
+        |agg AS (
+        |  SELECT threshold,
+        |    CAST(sum(CASE WHEN s >= threshold AND t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN s >= threshold AND t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN s < threshold AND t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM d, g GROUP BY 1)
+        |SELECT threshold, tp, fp, fn,
+        |  CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0.0 END AS precision,
+        |  CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0.0 END AS recall,
+        |  CASE WHEN (CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0.0 END) +
+        |            (CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0.0 END) > 0
+        |       THEN 2.0 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / (tp + fn)) /
+        |            ((tp * 1.0 / (tp + fp)) + (tp * 1.0 / (tp + fn)))
+        |       ELSE 0.0 END AS f1
+        |FROM agg""".stripMargin),
+
+    "q_head_sample" -> withT(
+      """SELECT conv_id, turn_idx, CASE WHEN role = 'tool' THEN 1 ELSE 0 END AS label
+        |FROM transcripts ORDER BY conv_id, turn_idx LIMIT 500""".stripMargin),
+
+    "q_pad_truncate" -> withP(
+      """, sess AS (
+        |  SELECT conv_id, list(event_id ORDER BY turn_idx) AS seq FROM parsed GROUP BY 1)
+        |SELECT conv_id,
+        |  CASE WHEN len(seq) >= 100 THEN array_to_string(seq[-100:], ' ')
+        |       ELSE array_to_string(list_concat(list_transform(range(100 - len(seq)), x -> '<pad>'), seq), ' ')
+        |  END AS padded
+        |FROM sess""".stripMargin),
+
+    "q_zero_mean" -> withP(
+      """, cv AS (SELECT conv_id, event_id, count(*) AS cnt FROM parsed GROUP BY 1, 2),
+        |m AS (SELECT event_id, avg(cnt) AS mean FROM cv GROUP BY 1)
+        |SELECT cv.conv_id, cv.event_id, cv.cnt, round(cv.cnt - m.mean, 4) AS cnt_centered
+        |FROM cv JOIN m ON cv.event_id = m.event_id""".stripMargin),
+
+    "q_sigmoid" -> withP(
+      """, cv AS (SELECT conv_id, event_id, count(*) AS cnt FROM parsed GROUP BY 1, 2)
+        |SELECT conv_id, event_id, cnt,
+        |  round(CASE WHEN cnt <> 0 THEN 1.0 / (1.0 + exp(-cnt)) ELSE 0.0 END, 6) AS cnt_sigmoid
+        |FROM cv""".stripMargin),
+
+    "q_sum_vectors" ->
+      """SELECT label, CAST(gs AS INT) AS dim,
+        |       round(sum(CAST(embedding[gs] AS DOUBLE)), 6) AS s
+        |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(gs)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_chunk" -> withP(
+      """, sess AS (
+        |  SELECT conv_id, list(event_id ORDER BY turn_idx) AS seq FROM parsed GROUP BY 1)
+        |SELECT conv_id, CAST(i AS INT) AS chunk_idx,
+        |       array_to_string(seq[(i*10+1):(i*10+10)], ' ') AS chunk
+        |FROM sess, UNNEST(range(0, CAST(ceil(len(seq) / 10.0) AS BIGINT))) u(i)""".stripMargin),
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS rep_id, count(*) AS n_copies

@@ -1,0 +1,193 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window => W}
+import org.apache.spark.sql.functions._
+
+/** The remaining featurization / preprocessing operators of SURVEY.md §2:
+  * word vocab with min_freq/max_size (G6), normalization (G9), OOV pruning
+  * (G10), threshold sweep (O4), sampling/splits (O8/O10/S10), set ops
+  * (U1-U4), pad/truncate (F9), camel split (F5), embedding sum (G15),
+  * cosine-fallback vocab encode (J4), logbert chunking (W4).
+  */
+object Preprocessing {
+
+  /** G6 — word vocab with min_freq / max_size and deterministic
+    * (freq desc, word asc) order (bert_pytorch/dataset/vocab.py:39-61).
+    * `specials` occupy ids 1..k ahead of the corpus words.
+    */
+  def wordVocab(df: DataFrame, wordCol: String, minFreq: Long = 1,
+                maxSize: Option[Int] = None,
+                specials: Seq[String] = Seq("<pad>", "<unk>")): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counted = df.groupBy(col(wordCol).as("word"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+      .withColumn("vocab_id",
+        row_number().over(W.orderBy(col("freq").desc, col("word").asc)) + specials.size)
+    val limited = maxSize.map(m => counted.filter(col("vocab_id") <= m + specials.size))
+      .getOrElse(counted)
+    val specialRows = specials.zipWithIndex
+      .map { case (s, i) => (s, 0L, i + 1) }
+      .toDF("word", "freq", "vocab_id")
+    specialRows.unionByName(limited)
+  }
+
+  /** G9a — zero-mean normalization: subtract the per-event train mean
+    * (loglizer/preprocessing.py:101-104). Means are a tiny dim → broadcast.
+    */
+  def zeroMean(counts: DataFrame, eventCol: String = "event_id",
+               valueCol: String = "cnt"): DataFrame = {
+    val means = counts.groupBy(col(eventCol))
+      .agg(avg(col(valueCol)).as("__mean"))
+    counts.join(broadcast(means), eventCol)
+      .withColumn(s"${valueCol}_centered", col(valueCol) - col("__mean"))
+      .drop("__mean")
+  }
+
+  /** G9b — sigmoid (expit) on nonzero entries (loglizer/preprocessing.py:105-107). */
+  def sigmoidNonzero(counts: DataFrame, valueCol: String = "cnt"): DataFrame =
+    counts.withColumn(s"${valueCol}_sigmoid",
+      when(col(valueCol) =!= 0, lit(1.0) / (lit(1.0) + exp(-col(valueCol))))
+        .otherwise(lit(0.0)))
+
+  /** G10 — OOV / min-count pruning: events present in < minCount groups are
+    * folded into a single `__oov__` key (loglizer/preprocessing.py:86-93).
+    */
+  def oovFold(counts: DataFrame, groupCols: Seq[String],
+              eventCol: String = "event_id", minCount: Long = 2): DataFrame = {
+    val keep = counts.groupBy(col(eventCol))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minCount)
+      .select(col(eventCol))
+    counts
+      .join(broadcast(keep).withColumn("__keep", lit(1)), Seq(eventCol), "left")
+      .withColumn(eventCol, when(col("__keep").isNull, lit("__oov__")).otherwise(col(eventCol)))
+      .drop("__keep")
+      .groupBy((groupCols :+ eventCol).map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** O4 — threshold sweep: for each candidate threshold, a confusion matrix
+    * and F1 over (score, truth) rows; returns the whole sweep plus the
+    * argmax row first (logdeep/tools/predict.py:121-152 re-expressed as one
+    * explode × aggregate — no driver loop).
+    */
+  def thresholdSweep(scored: DataFrame, scoreCol: String, truthCol: String,
+                     thresholds: Seq[Double]): DataFrame = {
+    val th = explode(array(thresholds.map(lit): _*)).as("threshold")
+    scored.select(col(scoreCol).as("s"), col(truthCol).as("t"), th)
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("s") >= col("threshold") && col("t") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("s") >= col("threshold") && col("t") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("s") < col("threshold") && col("t") === 1, 1L).otherwise(0L)).as("fn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0, col("tp") / (col("tp") + col("fp"))).otherwise(lit(0.0)))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0, col("tp") / (col("tp") + col("fn"))).otherwise(lit(0.0)))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
+          .otherwise(lit(0.0)))
+  }
+
+  /** O8 — seeded random down-sample (logdeep/dataset/sample.py:27-40; the
+    * reference's unseeded variant is pinned to a seed, SURVEY.md §7.3.2).
+    */
+  def downSample(df: DataFrame, fraction: Double, seed: Long = 88L): DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
+
+  /** O10 — stratified split by label fractions (loglizer/dataloader.py:17-29). */
+  def stratifiedSample(df: DataFrame, labelCol: String,
+                       fractions: Map[Int, Double], seed: Long = 88L): DataFrame =
+    df.stat.sampleBy(labelCol, fractions.map { case (k, v) => (k: Any, v) }, seed)
+
+  /** S10 — head-N sampler + anomaly rate (dataset/data_process.py:29-53):
+    * first n rows in stable order, plus the rate of label=1 among them.
+    */
+  def headSample(df: DataFrame, n: Int, orderCols: Seq[String],
+                 labelCol: String): (DataFrame, Double) = {
+    val head = df.orderBy(orderCols.map(col): _*).limit(n)
+    val rate = head.agg(avg(col(labelCol))).head().getDouble(0)
+    (head, rate)
+  }
+
+  /** U2 — anti-membership filter: drop rows whose key appears in `deny`
+    * (PLELog/approaches/hdbscan_options.py:132).
+    */
+  def antiFilter(df: DataFrame, deny: DataFrame, keys: Seq[String]): DataFrame =
+    df.join(deny.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** F9 — pad-left to `n` with `pad`, else keep the LAST n (the reference's
+    * pad/truncate shape, logdeep/dataset/sample.py:19-24,125-131).
+    */
+  def padOrTruncateLeft(seq: Column, n: Int, pad: String): Column =
+    when(size(seq) >= n, slice(seq, -n, n))
+      .otherwise(concat(array_repeat(lit(pad), lit(n) - size(seq)), seq))
+
+  /** F5 — camel-case split (PLELog/data/Embedding.py:45-79): boundaries at
+    * lower→Upper and Upper→Upper+lower; pure column expression.
+    */
+  def camelSplit(c: Column): Column =
+    split(
+      regexp_replace(
+        regexp_replace(c, "([a-z0-9])([A-Z])", "$1 $2"),
+        "([A-Z]+)([A-Z][a-z])", "$1 $2"),
+      "\\s+")
+
+  /** G15 — element-wise sum of per-event embedding vectors over a sequence
+    * (PLELog/data/Embedding.py:25-38): fold with zip_with, no UDF.
+    */
+  def sumVectors(vecs: Column, dim: Int): Column =
+    aggregate(vecs,
+      array_repeat(lit(0.0), dim),
+      (acc, v) => zip_with(acc, v, (a, b) => a + coalesce(b.cast("double"), lit(0.0))))
+
+  /** J4 — vocab encode with cosine-similarity fallback
+    * (logdeep/dataset/vocab.py:38-50): unknown events map to the most
+    * similar known event's id when cosine > `minSim`, else unk (0).
+    * The known-event matrix is broadcast; the scan over it is a pure
+    * function → Scala UDF over the broadcast (SURVEY.md §2.11).
+    */
+  def encodeWithSimilarityFallback(
+      df: DataFrame, eventCol: String,
+      known: Map[String, (Int, Array[Double])], minSim: Double = 0.9): DataFrame = {
+    val spark = df.sparkSession
+    val bc = graft.util.Bc(spark.sparkContext.broadcast(known))
+    val encode = udf { (e: String, vec: Seq[Double]) =>
+      bc.get.get(e).map(_._1).getOrElse {
+        if (vec == null) 0
+        else {
+          val v = vec.toArray
+          val nv = math.sqrt(v.map(x => x * x).sum)
+          var bestId = 0; var bestSim = minSim
+          bc.get.foreach { case (_, (id, kv)) =>
+            val dot = kv.zip(v).map { case (a, b) => a * b }.sum
+            val nk  = math.sqrt(kv.map(x => x * x).sum)
+            val sim = if (nk * nv == 0) 0.0 else dot / (nk * nv)
+            if (sim > bestSim) { bestSim = sim; bestId = id }
+          }
+          bestId
+        }
+      }
+    }
+    df.withColumn("vocab_id", encode(col(eventCol), col("vector")))
+  }
+
+  /** W4 — logbert-style chunking: split each sequence into consecutive
+    * `windowSize` chunks, truncating to `maxLen` chunks
+    * (bert_pytorch/dataset/sample.py:21-55).
+    */
+  def chunkSequence(grouped: DataFrame, seqCol: String, windowSize: Int,
+                    maxChunks: Int = Int.MaxValue): DataFrame =
+    grouped
+      .select(col("*"),
+        posexplode(
+          transform(
+            sequence(lit(0L), floor((size(col(seqCol)) - 1) / lit(windowSize.toDouble)).cast("long")),
+            i => slice(col(seqCol), (i * windowSize + 1).cast("int"), lit(windowSize))))
+          .as(Seq("chunk_idx", "chunk")))
+      .filter(col("chunk_idx") < maxChunks)
+}

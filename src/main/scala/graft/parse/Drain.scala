@@ -188,18 +188,34 @@ final class DrainTree(cfg: DrainConfig) extends Serializable {
   */
 object Drain {
 
+  // MessageDigest.getInstance synchronizes on the JCA provider registry —
+  // a per-row call serializes all executor threads (measured: the match UDF
+  // ran 2× SLOWER at local[32] than local[8]). One digest per thread.
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   def md5_8(s: String): String = {
-    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
     d.take(4).map(b => f"${b & 0xff}%02x").mkString
   }
 
+  // Pattern compilation is per-call in String.replaceAll/split — cache
+  // compiled patterns (Pattern is immutable + thread-safe).
+  private val patternCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  private[parse] def pattern(rx: String): java.util.regex.Pattern =
+    patternCache.computeIfAbsent(rx, java.util.regex.Pattern.compile(_))
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
   /** Drain.py:290-293 — chained regex scrub to `<*>`. */
   def scrub(text: String, regexes: Seq[String]): String =
-    regexes.foldLeft(text)((t, r) => t.replaceAll(r, "<*>"))
+    regexes.foldLeft(text)((t, r) => pattern(r).matcher(t).replaceAll("<*>"))
 
   /** Drain.py:258 — whitespace tokenization after scrub. */
   def tokenize(text: String, scrubRegexes: Seq[String]): Vector[String] =
-    scrub(text, scrubRegexes).trim.split("\\s+").toVector.filter(_.nonEmpty)
+    wsPattern.split(scrub(text, scrubRegexes).trim).toVector.filter(_.nonEmpty)
 
   /** Column-side scrub (codegen'd regexp_replace chain) for plan-level use. */
   def scrubCol(c: Column, regexes: Seq[String]): Column =
@@ -238,10 +254,15 @@ object Drain {
       .sortBy(t => (-t.occurrences, t.event_template))
   }
 
-  /** A frozen matcher over a finalized dictionary, broadcast-friendly. */
+  /** A frozen matcher over a finalized dictionary, broadcast-friendly.
+    * Event ids are precomputed per template — the hot per-row path does no
+    * hashing at all (only the rare fallback does).
+    */
   final class Matcher(entries: Seq[TemplateEntry], cfg: DrainConfig) extends Serializable {
     private val tree = new DrainTree(cfg)
     entries.foreach(e => tree.insertFrozen(e.event_template.split(" ").toVector, e.occurrences))
+    private val idByTemplate: Map[String, String] =
+      entries.map(e => e.event_template -> e.event_id).toMap
     private val scrubRx = cfg.scrub
 
     /** Match one raw text → (event_id, event_template). Unmatched rows fall
@@ -253,7 +274,7 @@ object Drain {
       tree.search(toks) match {
         case Some(c) =>
           val t = c.tokens.mkString(" ")
-          (md5_8(t), t)
+          (idByTemplate.getOrElse(t, md5_8(t)), t)
         case None =>
           val t = toks.map(t => if (t.exists(_.isDigit)) "<*>" else t).mkString(" ")
           (md5_8(t), t)
@@ -267,10 +288,10 @@ object Drain {
   def matchTemplates(df: DataFrame, textCol: String, dict: Seq[TemplateEntry],
                      cfg: DrainConfig): DataFrame = {
     val spark   = df.sparkSession
-    val matcher = spark.sparkContext.broadcast(new Matcher(dict, cfg))
+    val matcher = graft.util.Bc(spark.sparkContext.broadcast(new Matcher(dict, cfg)))
     val matchUdf = udf { text: String =>
       if (text == null) null else {
-        val (id, tpl) = matcher.value.matchText(text)
+        val (id, tpl) = matcher.get.matchText(text)
         (id, tpl)
       }
     }
@@ -307,12 +328,18 @@ object Drain {
     java.util.regex.Pattern.compile(sb.toString)
   }
 
+  // template → compiled parameter pattern (dictionaries are small; the cache
+  // avoids a per-row Pattern.compile)
+  private val paramPatternCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+
   /** Column of extracted parameters: `parameters: array<string>`. */
   def extractParameters(df: DataFrame, textCol: String, templateCol: String): DataFrame = {
     val extractUdf = udf { (text: String, template: String) =>
       if (text == null || template == null) Seq.empty[String]
       else {
-        val m = parameterPattern(template).matcher(text)
+        val p = paramPatternCache.computeIfAbsent(template, parameterPattern(_))
+        val m = p.matcher(text)
         if (m.matches()) (1 to m.groupCount()).map(m.group) else Seq.empty[String]
       }
     }

@@ -40,49 +40,57 @@ object Pipeline {
       windows: Long,
       countVectorRows: Long)
 
+  private def timed[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val a  = f
+    if (sys.env.contains("GRAFT_TIMING"))
+      System.err.println(f"[pipeline] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    a
+  }
+
   def run(spark: SparkSession, transcripts: DataFrame, workDir: String,
           cfg: DrainConfig = DrainConfig(depth = 4, st = 0.4)): Result = {
 
     // -- stage 1: parse ----------------------------------------------------
-    val parsedDf = Router.stage(spark, s"$workDir/parse") {
+    val parsedDf = timed("parse")(Router.stage(spark, s"$workDir/parse") {
       val (p, _) = Drain.parse(transcripts, "text", cfg)
       // conv_id-hash partitioning keeps turn ordering stable downstream and
       // is reused by every per-conversation window/aggregate.
       p.repartition(col("conv_id"))
-    }
+    })
 
-    val dict = parsedDf.select("event_id", "event_template")
-      .distinct().collect()
+    val dict = timed("dict")(parsedDf.select("event_id", "event_template")
+      .distinct().collect())
     val templates = dict.length
 
     // -- stage 2: enrich ---------------------------------------------------
-    val enriched = Router.stage(spark, s"$workDir/enrich") {
+    val enriched = timed("enrich")(Router.stage(spark, s"$workDir/enrich") {
       val labels = parsedDf.groupBy(col("conv_id"))
         .agg(max(when(col("role") === "tool", 1).otherwise(0)).as("label"))
       Enrich.convLabels(parsedDf, labels)
-    }
+    })
 
     // -- stage 3: route ------------------------------------------------------
     val routes =
       if (Router.isComplete(s"$workDir/route"))
         readMetrics(s"$workDir/route")
       else
-        Router.fanOut(enriched, "event_id", s"$workDir/route")
+        timed("route")(Router.fanOut(enriched, "event_id", s"$workDir/route"))
 
     // -- stage 4: aggregate --------------------------------------------------
-    val grouped = Router.stage(spark, s"$workDir/windows") {
+    val grouped = timed("windows")(Router.stage(spark, s"$workDir/windows") {
       Windows.sessionGroup(enriched, labelCol = Some("label"))
         .withColumn("label", element_at(col("labels"), 1))
         .drop("labels")
-    }
-    val cv = Router.stage(spark, s"$workDir/count_vectors") {
+    })
+    val cv = timed("count_vectors")(Router.stage(spark, s"$workDir/count_vectors") {
       val counts = Features.countVectors(enriched, Seq("conv_id"))
       Features.tfidf(counts, Seq("conv_id"))
-    }
+    })
     // salted hot-template aggregate (north rule) — tiny output, not a stage
-    Features.saltedCount(enriched, "event_id").collect()
+    timed("salted_count")(Features.saltedCount(enriched, "event_id").collect())
 
-    Result(enriched.count(), templates, routes, grouped.count(), cv.count())
+    timed("final_counts")(Result(enriched.count(), templates, routes, grouped.count(), cv.count()))
   }
 
   private def readMetrics(dir: String): Seq[Router.SinkMetrics] = {

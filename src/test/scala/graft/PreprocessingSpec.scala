@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.agg.Preprocessing
+
+class PreprocessingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("wordVocab: specials first, then freq desc / word asc, min_freq filter") {
+    val words = (Seq.fill(5)("b") ++ Seq.fill(5)("a") ++ Seq.fill(3)("c") ++ Seq("rare"))
+      .toDF("word")
+    val v = Preprocessing.wordVocab(words, "word", minFreq = 2)
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(v === Map("<pad>" -> 1, "<unk>" -> 2, "a" -> 3, "b" -> 4, "c" -> 5))
+  }
+
+  test("oovFold conserves counts while folding rare keys") {
+    val cv = Seq(
+      ("g1", "common", 5L), ("g2", "common", 3L),
+      ("g1", "rare1", 2L), ("g2", "rare2", 1L)
+    ).toDF("conv_id", "event_id", "cnt")
+    val out = Preprocessing.oovFold(cv, Seq("conv_id"), minCount = 2)
+    val m = out.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("g1", "common")) === 5L)
+    assert(m(("g1", "__oov__")) === 2L)
+    assert(m(("g2", "__oov__")) === 1L)
+    assert(out.agg(sum("cnt")).as[Long].head() === 11L)
+  }
+
+  test("thresholdSweep computes per-threshold confusion + F1 in one pass") {
+    val scored = Seq((10.0, 1), (8.0, 1), (6.0, 0), (2.0, 0)).toDF("score", "truth")
+    val sweep = Preprocessing.thresholdSweep(scored, "score", "truth", Seq(0.0, 7.0))
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[Double]("f1"))).toMap
+    assert(sweep(0.0)._1 === 2L); assert(sweep(0.0)._2 === 2L) // all flagged
+    assert(sweep(7.0) === ((2L, 0L, 0L, 1.0)))                  // perfect at 7
+  }
+
+  test("padOrTruncateLeft pads with sentinel or keeps tail") {
+    val df = Seq(Seq("a", "b"), Seq("a", "b", "c", "d", "e")).toDF("seq")
+    val out = df.select(Preprocessing.padOrTruncateLeft(col("seq"), 4, "#P"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq("#P", "#P", "a", "b"))
+    assert(out(1) === Seq("b", "c", "d", "e"))
+  }
+
+  test("camelSplit splits camel and acronym boundaries") {
+    val out = Seq("getUserIDFromHTTPResponse").toDF("s")
+      .select(Preprocessing.camelSplit(col("s"))).as[Seq[String]].head()
+    assert(out === Seq("get", "User", "ID", "From", "HTTP", "Response"))
+  }
+
+  test("sumVectors folds element-wise with null vectors as zeros") {
+    val df = Seq(
+      (1, Seq(Seq(1.0, 2.0), Seq(3.0, 4.0))),
+      (2, Seq(Seq(0.5, 0.5)))
+    ).toDF("id", "vecs")
+    val out = df.select(col("id"), Preprocessing.sumVectors(col("vecs"), 2).as("s"))
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(out(1) === Seq(4.0, 6.0))
+    assert(out(2) === Seq(0.5, 0.5))
+  }
+
+  test("encodeWithSimilarityFallback: known id, similar fallback, unk") {
+    val known = Map(
+      "e1" -> (1, Array(1.0, 0.0)),
+      "e2" -> (2, Array(0.0, 1.0)))
+    val df = Seq(
+      ("e1", Seq(9.0, 9.0)),          // known → 1 regardless of vector
+      ("new1", Seq(0.99, 0.05)),      // cosine ~1 with e1 → 1
+      ("new2", Seq(-1.0, -1.0))       // similar to nothing → 0
+    ).toDF("event_id", "vector")
+    val out = Preprocessing.encodeWithSimilarityFallback(df, "event_id", known)
+      .select("event_id", "vocab_id").as[(String, Int)].collect().toMap
+    assert(out("e1") === 1)
+    assert(out("new1") === 1)
+    assert(out("new2") === 0)
+  }
+
+  test("chunkSequence tiles sequences into fixed windows") {
+    val df = Seq(("c1", (1 to 7).map(_.toString))).toDF("conv_id", "events")
+    val out = Preprocessing.chunkSequence(df, "events", 3)
+      .select("chunk_idx", "chunk").as[(Int, Seq[String])].collect().sortBy(_._1)
+    assert(out.map(_._2) === Array(Seq("1", "2", "3"), Seq("4", "5", "6"), Seq("7")))
+  }
+
+  test("zeroMean / sigmoidNonzero formulas") {
+    val cv = Seq(("g1", "a", 2L), ("g2", "a", 4L)).toDF("conv_id", "event_id", "cnt")
+    val zm = Preprocessing.zeroMean(cv).select("cnt_centered").as[Double].collect().sorted
+    assert(zm === Array(-1.0, 1.0))
+    val sg = Preprocessing.sigmoidNonzero(cv).select("cnt_sigmoid").as[Double].collect()
+    sg.foreach(v => assert(v > 0.5 && v < 1.0))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.parse.{Spell, SpellTree, Drain}
+import graft.sources.Transcripts
+
+class SpellSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val tau = 0.5
+
+  test("LCS backtrack matches the classic definition") {
+    val t = new SpellTree(tau)
+    assert(t.lcs(Vector("a", "b", "c", "d"), Vector("x", "b", "d")) === List("b", "d"))
+    assert(t.lcs(Vector("a"), Vector("b")) === Nil)
+    assert(t.lcs(Vector.empty, Vector("a")) === Nil)
+  }
+
+  test("Spell tokenization splits on punctuation minus <*> (Spell.py:234-238)") {
+    assert(Spell.tokenize("a.b,c:d <*> e", Nil) === Vector("a", "b", "c", "d", "<*>", "e"))
+    assert(Spell.tokenize("open(file=/tmp/x);", Nil) === Vector("open", "file", "tmp", "x"))
+  }
+
+  test("distributed Spell mine == single-threaded oracle on synthetic corpus") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val texts = (0 until 1500).map { _ =>
+      rng.nextInt(3) match {
+        case 0 => s"job ${rng.nextInt(100)} finished with code ${rng.nextInt(5)}"
+        case 1 => s"node ${rng.nextInt(30)} heartbeat missed at epoch ${rng.nextInt(10000)} retrying soon"
+        case _ => s"queue drained ${rng.nextInt(500)} messages"
+      }
+    }
+    val mined = Spell.mine(texts.toDF("text").repartition(8), "text", tau)
+    val oracleTree = new SpellTree(tau)
+    texts.foreach(t => oracleTree.insert(Spell.tokenize(t, Nil)))
+    val oracle = Spell.mergePartials(oracleTree.clusters, tau)
+    assert(mined === oracle)
+    assert(mined.map(_.occurrences).sum === 1500L)
+  }
+
+  test("Spell on events-derived transcripts converges to the 5 digit-masked templates") {
+    val t = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+    val (parsed, dict) = Spell.parse(t, "text", tau)
+    assert(dict.map(_.event_template).toSet === Set(
+      "user <*> clicked element <*>",
+      "new signup from user <*> region <*>",
+      "user <*> viewed page <*> for <*> seconds",
+      "user <*> purchased item <*> at price <*> credits",
+      "error <*> for user <*> at stage <*> retry limit"))
+    // per-row assignment agrees with the digit-scrub
+    val rows = parsed.select("text", "event_template").collect()
+    rows.foreach(r => assert(r.getString(1) === r.getString(0).replaceAll("[0-9]+", "<*>")))
+    // and with Drain's ids (same md5 scheme)
+    val drainDict = Drain.mine(t, "text", graft.parse.DrainConfig(4, 0.4))
+    assert(dict.map(e => e.event_id -> e.occurrences).toMap ===
+      drainDict.map(e => e.event_id -> e.occurrences).toMap)
+  }
+}
