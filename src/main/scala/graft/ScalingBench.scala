@@ -51,21 +51,34 @@ object ScalingBench {
       s.stop()
     }
 
-    def run(cpus: Int): (Long, Double) = {
-      val s = session(cpus, s"run$cpus")
-      Pipeline.run(s, s.read.parquet(warm), s"$tmp/warmup$cpus") // JIT warmup
+    // The sandbox host shows 3-5× round-to-round CPU noise on fixed spin
+    // benchmarks (VM neighbor steal; partially-loaded runs are throttled
+    // hardest) — a single-shot measurement is meaningless. Interleave N reps
+    // of each parallelism level to decorrelate from noise waves and take the
+    // per-level minimum: the least-interfered estimate of the true job cost.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "4").toInt
+
+    def runOnce(cpus: Int, rep: Int): (Long, Double) = {
+      val s = session(cpus, s"run${cpus}_$rep")
+      Pipeline.run(s, s.read.parquet(warm), s"$tmp/warmup${cpus}_$rep") // JIT warmup
       val t0 = System.nanoTime()
-      val res = Pipeline.run(s, s.read.parquet(input), s"$tmp/work$cpus")
+      val res = Pipeline.run(s, s.read.parquet(input), s"$tmp/work${cpus}_$rep")
       val dt = (System.nanoTime() - t0) / 1e9
       // routed-row conservation must hold at every parallelism level
       require(res.routes.map(_.rows).sum == res.turns,
         s"router conservation violated at local[$cpus]")
       s.stop()
+      System.err.println(f"[scaling] local[$cpus] rep $rep: $dt%.2fs")
       (res.turns, dt)
     }
 
-    val (turns8, t8)   = run(8)
-    val (turns32, t32) = run(32)
+    val runs = (1 to reps).flatMap(r => Seq(8 -> r, 32 -> r)).map {
+      case (cpus, r) => (cpus, runOnce(cpus, r))
+    }
+    val turns8  = runs.collect { case (8, (n, _)) => n }.head
+    val turns32 = runs.collect { case (32, (n, _)) => n }.head
+    val t8      = runs.collect { case (8, (_, t)) => t }.min
+    val t32     = runs.collect { case (32, (_, t)) => t }.min
     require(turns8 == turns32, "same input must yield same turn count")
     val tput8  = turns8 / t8
     val tput32 = turns32 / t32

@@ -16,20 +16,30 @@ import graft.route.Router
   * Stage layout (each a [[Router.stage]] checkpoint; restart skips complete
   * stages, so a kill at any cut resumes without recomputation):
   *
-  *   1. parse      — Drain mine (partition trees + canonical merge) + match;
-  *                   adds event_id/event_template. Narrow except the tiny
-  *                   template collect.
-  *   2. enrich     — broadcast joins: template dict + conversation labels.
-  *   3. route      — single-pass fan-out `partitionBy(event_id)` +
-  *                   per-sink counts (`_metrics.json`).
-  *   4. aggregate  — session sequences, count vectors, TF-IDF; the hot
-  *                   template count goes through the salted two-level
-  *                   aggregate (SURVEY.md §4.2).
+  *   1. parse   — Drain mine (partition trees + canonical merge) + match.
+  *                Writes the SLIM event stream (conv_id, turn_idx, role,
+  *                tool, ts, event_id) + the tiny template dictionary. The
+  *                template TEXT is never materialized per row — the dict
+  *                join reconstructs it; at 10^12 rows the per-row template
+  *                string would dominate every downstream byte count.
+  *   2. labels  — the conversation-label dim (conv_id → 0/1): a small
+  *                broadcast-side table, not a full-table rewrite.
+  *   3. route   — single-pass fan-out `partitionBy(event_id)` of the parsed
+  *                stream enriched with the broadcast label dim; per-sink
+  *                counts in `_metrics.json`. This is the ONE routed
+  *                materialization; windows/aggregates read it back rather
+  *                than materializing a second enriched copy.
+  *   4. aggregate — session sequences + count vectors + TF-IDF; the hot
+  *                template count goes through the salted two-level aggregate
+  *                (SURVEY.md §4.2).
   *
-  * Scale design: the only wide exchanges are (a) the conv_id hash partition
-  * before windowing (reused by every per-conversation aggregate), (b) the
-  * salted count, (c) the fan-out write. All joins are broadcast. No global
-  * sort anywhere.
+  * Scale design: all joins broadcast; wide exchanges are only the conv_id
+  * hash partition inside the window/aggregate stages and the fan-out write.
+  * No global sort. Full-table materializations: exactly two (parse, route),
+  * both with the slim schema. (A cross-stage `repartition(conv_id)` is
+  * pointless here — partitioning does not survive a parquet round-trip; with
+  * bucketed Iceberg tables it would, and the route write is the place to
+  * bucket.)
   */
 object Pipeline {
 
@@ -51,33 +61,32 @@ object Pipeline {
   def run(spark: SparkSession, transcripts: DataFrame, workDir: String,
           cfg: DrainConfig = DrainConfig(depth = 4, st = 0.4)): Result = {
 
-    // -- stage 1: parse ----------------------------------------------------
+    // -- stage 1: parse (slim event stream + dictionary) --------------------
     val parsedDf = timed("parse")(Router.stage(spark, s"$workDir/parse") {
-      val (p, _) = Drain.parse(transcripts, "text", cfg)
-      // conv_id-hash partitioning keeps turn ordering stable downstream and
-      // is reused by every per-conversation window/aggregate.
-      p.repartition(col("conv_id"))
+      val dict = Drain.mine(transcripts, "text", cfg)
+      spark.createDataFrame(dict)
+        .write.mode("overwrite").parquet(s"$workDir/dict")
+      Drain.matchTemplates(transcripts, "text", dict, cfg)
+        .select("conv_id", "turn_idx", "role", "tool", "ts", "event_id")
     })
+    val templates = spark.read.parquet(s"$workDir/dict").count().toInt
 
-    val dict = timed("dict")(parsedDf.select("event_id", "event_template")
-      .distinct().collect())
-    val templates = dict.length
-
-    // -- stage 2: enrich ---------------------------------------------------
-    val enriched = timed("enrich")(Router.stage(spark, s"$workDir/enrich") {
-      val labels = parsedDf.groupBy(col("conv_id"))
+    // -- stage 2: enrich dim (conversation labels) ---------------------------
+    val labels = timed("labels")(Router.stage(spark, s"$workDir/labels") {
+      parsedDf.groupBy(col("conv_id"))
         .agg(max(when(col("role") === "tool", 1).otherwise(0)).as("label"))
-      Enrich.convLabels(parsedDf, labels)
     })
 
-    // -- stage 3: route ------------------------------------------------------
+    // -- stage 3: route (the one fan-out materialization) --------------------
     val routes =
       if (Router.isComplete(s"$workDir/route"))
         readMetrics(s"$workDir/route")
       else
-        timed("route")(Router.fanOut(enriched, "event_id", s"$workDir/route"))
+        timed("route")(Router.fanOut(
+          Enrich.convLabels(parsedDf, labels), "event_id", s"$workDir/route"))
+    val enriched = spark.read.parquet(s"$workDir/route/data")
 
-    // -- stage 4: aggregate --------------------------------------------------
+    // -- stage 4: aggregate ---------------------------------------------------
     val grouped = timed("windows")(Router.stage(spark, s"$workDir/windows") {
       Windows.sessionGroup(enriched, labelCol = Some("label"))
         .withColumn("label", element_at(col("labels"), 1))
@@ -90,7 +99,8 @@ object Pipeline {
     // salted hot-template aggregate (north rule) — tiny output, not a stage
     timed("salted_count")(Features.saltedCount(enriched, "event_id").collect())
 
-    timed("final_counts")(Result(enriched.count(), templates, routes, grouped.count(), cv.count()))
+    timed("final_counts")(
+      Result(enriched.count(), templates, routes, grouped.count(), cv.count()))
   }
 
   private def readMetrics(dir: String): Seq[Router.SinkMetrics] = {

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.Transcripts
+import graft.parse.{Drain, DrainConfig}
+import graft.enrich.Enrich
+import graft.agg.Features
+
+/** Physical-plan assertions: the properties that make the operators hold up
+  * at 100 TB must be visible in the plan, not just hoped for. Plans are
+  * inspected AFTER execution so AQE's final plan (isFinalPlan=true) is what
+  * is asserted.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+
+  /** Execute, then render the final (post-AQE) physical plan. */
+  def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("parquet scan: filter and column pruning reach the scan") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$scan")
+  }
+
+  test("enrich joins are broadcast hash joins (no sort-merge shuffle)") {
+    val t = Transcripts.fromEvents(spark, dir)
+    val labels = t.groupBy(col("conv_id"))
+      .agg(max(when(col("role") === "tool", 1).otherwise(0)).as("label"))
+    val plan = finalPlan(Enrich.convLabels(t, labels))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "sort-merge join crept into a dict-lookup enrich")
+  }
+
+  test("template match phase is narrow: no exchange between scan and match") {
+    val t = Transcripts.fromEvents(spark, dir)
+    val dict = Drain.mine(t, "text", DrainConfig(4, 0.4))
+    // match over an already-loaded table must not shuffle
+    val plain = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("props").as("text"))
+    val matched = Drain.matchTemplates(plain, "text", dict, DrainConfig(4, 0.4))
+    val plan = finalPlan(matched)
+    assert(!plan.contains("Exchange"), s"match phase introduced a shuffle:\n$plan")
+  }
+
+  test("salted count is a two-level aggregate (partial+final × salt+rollup)") {
+    val t = Transcripts.fromEvents(spark, dir).withColumn("event_id", lit("e"))
+    val plan = finalPlan(Features.saltedCount(t, "event_id"))
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 4, s"expected two-level aggregate, got $aggs HashAggregate nodes:\n$plan")
+  }
+
+  test("count vectors keep whole-stage codegen (no UDF in the aggregate path)") {
+    val parsed = Seq(("c1", "e1"), ("c1", "e2")).toDF("conv_id", "event_id")
+    val plan = finalPlan(Features.countVectors(parsed, Seq("conv_id")))
+    // "*(n)" prefixes mark WholeStageCodegen spans in the compact rendering
+    assert(plan.contains("*(1) HashAggregate") || plan.contains("WholeStageCodegen"),
+      s"aggregate path fell out of whole-stage codegen:\n$plan")
+    assert(plan.contains("partial_count"), "no map-side partial aggregation")
+  }
+}
