@@ -94,6 +94,48 @@ object Features {
       sum(when(p === 0 && t === 1, 1L).otherwise(0L)).as("fn"))
   }
 
+  /** W8 — lead time: position of the first anomalous window in each session
+    * (logdeep/tools/predict.py:222-231): min(pos where anomalous) per group.
+    */
+  def leadTime(df: DataFrame, groupCol: String, posCol: String,
+               anomCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(min(when(col(anomCol) === 1, col(posCol))).as("first_anomaly_pos"),
+        max(col(anomCol)).as("has_anomaly"))
+
+  /** J7 — count-matrix column alignment (loglizer/preprocessing.py:128-137):
+    * test-time counts reindexed to the train-time event set; events unseen
+    * at train time are summed into a per-group `__oov__` bucket.
+    */
+  def alignToTrainEvents(testCounts: DataFrame, trainEvents: DataFrame,
+                         groupCols: Seq[String],
+                         eventCol: String = "event_id"): DataFrame = {
+    val dim = trainEvents.select(col(eventCol)).distinct()
+      .withColumn("__known", lit(1))
+    testCounts
+      .join(broadcast(dim), Seq(eventCol), "left")
+      .withColumn(eventCol,
+        when(col("__known").isNull, lit("__oov__")).otherwise(col(eventCol)))
+      .drop("__known")
+      .groupBy((groupCols :+ eventCol).map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** P8 — anomaly-rate counter (dataset/data_process.py:18-26). */
+  def anomalyRate(df: DataFrame, labelCol: String): DataFrame =
+    df.agg(count(lit(1)).as("n"),
+      sum(col(labelCol)).cast("long").as("n_anomalous"),
+      avg(col(labelCol)).as("anomaly_rate"))
+
+  /** P9 — data-quality guard: rows violating `predicate` are counted and
+    * excluded (PLELog/data/DataLoader.py:149-167's single-block-id assert,
+    * as a metric instead of a crash).
+    */
+  def qualityFilter(df: DataFrame, predicate: org.apache.spark.sql.Column): (DataFrame, Long) = {
+    val bad = df.filter(!predicate).count()
+    (df.filter(predicate), bad)
+  }
+
   /** O3 — top-k candidate membership: anomaly iff the true next event is not
     * among the k most frequent events (the data-pipeline half of
     * logdeep/tools/predict.py:99-111; model logits replaced by the frequency

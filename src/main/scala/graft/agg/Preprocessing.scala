@@ -176,6 +176,40 @@ object Preprocessing {
     df.withColumn("vocab_id", encode(col(eventCol), col("vector")))
   }
 
+  /** J6 — TF-IDF-weighted template embedding
+    * (PLELog/data/Embedding.py:134-158, 246-271): template tokens are
+    * camel-split into sub-words, sub-word vectors averaged per token, token
+    * vectors weighted by tf·idf (idf over templates) and summed per
+    * template. Exploded-dimension representation: output
+    * (event_id, dim, v) — schema-stable for any vector width, all built-in
+    * aggregates, word-vector dim broadcast.
+    */
+  def templateEmbeddings(templates: DataFrame, wordVecs: DataFrame): DataFrame = {
+    val toks = templates
+      .select(col("event_id"), explode(split(col("event_template"), "\\s+")).as("token"))
+      .filter(col("token") =!= "<*>")
+    val subs = toks
+      .select(col("event_id"), col("token"), explode(camelSplit(col("token"))).as("word"))
+      .withColumn("word", lower(col("word")))
+      .filter(length(col("word")) > 0)
+    val subVec = subs.join(broadcast(wordVecs), Seq("word"))
+      .select(col("event_id"), col("token"),
+        posexplode(col("vector")).as(Seq("pos", "v")))
+      .withColumn("dim", (col("pos") + 1).cast("int")).drop("pos")
+    val tokVec = subVec.groupBy("event_id", "token", "dim")
+      .agg(avg(col("v").cast("double")).as("tv"))
+    val tf  = toks.groupBy("event_id", "token").agg(count(lit(1)).as("tf"))
+    val nT  = templates.select("event_id").distinct().count()
+    val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("idf", log(lit(nT.toDouble) / col("df")))
+    tokVec
+      .join(tf, Seq("event_id", "token"))
+      .join(broadcast(idf.select("token", "idf")), Seq("token"))
+      .withColumn("w", col("tv") * col("tf") * col("idf"))
+      .groupBy("event_id", "dim")
+      .agg(sum(col("w")).as("v"))
+  }
+
   /** W4 — logbert-style chunking: split each sequence into consecutive
     * `windowSize` chunks, truncating to `maxLen` chunks
     * (bert_pytorch/dataset/sample.py:21-55).

@@ -62,7 +62,7 @@ object Pipeline {
           cfg: DrainConfig = DrainConfig(depth = 4, st = 0.4)): Result = {
 
     // -- stage 1: parse (slim event stream + dictionary) --------------------
-    val parsedDf = timed("parse")(Router.stage(spark, s"$workDir/parse") {
+    val (parsedDf, nTurns) = timed("parse")(Router.stageWithCount(spark, s"$workDir/parse") {
       val dict = Drain.mine(transcripts, "text", cfg)
       spark.createDataFrame(dict)
         .write.mode("overwrite").parquet(s"$workDir/dict")
@@ -80,35 +80,27 @@ object Pipeline {
     // -- stage 3: route (the one fan-out materialization) --------------------
     val routes =
       if (Router.isComplete(s"$workDir/route"))
-        readMetrics(s"$workDir/route")
+        Router.readMetrics(s"$workDir/route")
       else
         timed("route")(Router.fanOut(
           Enrich.convLabels(parsedDf, labels), "event_id", s"$workDir/route"))
     val enriched = spark.read.parquet(s"$workDir/route/data")
 
     // -- stage 4: aggregate ---------------------------------------------------
-    val grouped = timed("windows")(Router.stage(spark, s"$workDir/windows") {
+    val (_, nWindows) = timed("windows")(Router.stageWithCount(spark, s"$workDir/windows") {
       Windows.sessionGroup(enriched, labelCol = Some("label"))
         .withColumn("label", element_at(col("labels"), 1))
         .drop("labels")
     })
-    val cv = timed("count_vectors")(Router.stage(spark, s"$workDir/count_vectors") {
+    val (_, nCv) = timed("count_vectors")(Router.stageWithCount(spark, s"$workDir/count_vectors") {
       val counts = Features.countVectors(enriched, Seq("conv_id"))
       Features.tfidf(counts, Seq("conv_id"))
     })
     // salted hot-template aggregate (north rule) — tiny output, not a stage
     timed("salted_count")(Features.saltedCount(enriched, "event_id").collect())
 
-    timed("final_counts")(
-      Result(enriched.count(), templates, routes, grouped.count(), cv.count()))
+    // turn/row counts come from the stage metrics sidecars — no extra jobs
+    Result(nTurns, templates, routes, nWindows, nCv)
   }
 
-  private def readMetrics(dir: String): Seq[Router.SinkMetrics] = {
-    val json = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$dir/_metrics.json")), "UTF-8")
-    """\{"route":"([^"]*)","rows":(\d+)\}""".r
-      .findAllMatchIn(json)
-      .map(m => Router.SinkMetrics(m.group(1), m.group(2).toLong))
-      .toSeq
-  }
 }

@@ -66,13 +66,30 @@ object Router {
     * downstream stages consume the materialized checkpoint, giving restart
     * cuts between every stage).
     */
-  def stage(spark: SparkSession, outDir: String)(compute: => DataFrame): DataFrame = {
-    if (!isComplete(outDir)) {
+  def stage(spark: SparkSession, outDir: String)(compute: => DataFrame): DataFrame =
+    stageWithCount(spark, outDir)(compute)._1
+
+  /** Like [[stage]], also returning the stage's row count — from the
+    * `_metrics.json` sidecar when resuming, so completed stages cost zero
+    * extra jobs.
+    */
+  def stageWithCount(spark: SparkSession, outDir: String)(compute: => DataFrame): (DataFrame, Long) = {
+    val n = if (!isComplete(outDir)) {
       val df = compute
       df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/data")
-      val n = spark.read.parquet(s"$outDir/data").count()
-      writeMetrics(outDir, Seq(SinkMetrics("_all", n)))
-    }
-    spark.read.parquet(s"$outDir/data")
+      val c = spark.read.parquet(s"$outDir/data").count() // metadata-only scan
+      writeMetrics(outDir, Seq(SinkMetrics("_all", c)))
+      c
+    } else readMetrics(outDir).map(_.rows).sum
+    (spark.read.parquet(s"$outDir/data"), n)
+  }
+
+  def readMetrics(outDir: String): Seq[SinkMetrics] = {
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$outDir/_metrics.json")), "UTF-8")
+    """\{"route":"([^"]*)","rows":(\d+)\}""".r
+      .findAllMatchIn(json)
+      .map(m => SinkMetrics(m.group(1), m.group(2).toLong))
+      .toSeq
   }
 }

@@ -1,0 +1,30 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.parse.LogFormat
+
+/** S1 — raw log-file source (SURVEY.md §2.1): read text line-by-line, split
+  * by a compiled `log_format`, drop non-matching lines. The reference does
+  * this in a Python read loop (logparser/Drain.py:295-317); here it is a
+  * `spark.read.text` scan plus codegen'd `regexp_extract` projections.
+  *
+  * Ordering: the reference's 1-based file-order `LineId` is not reproducible
+  * on a distributed read (`monotonically_increasing_id` is
+  * partition-dependent), so downstream ordering must come from content
+  * columns — exactly the (conv_id, turn_idx) invariant of the transcripts
+  * schema (SURVEY.md §4.2).
+  */
+object RawLogs {
+
+  def read(spark: SparkSession, path: String, logFormat: String,
+           nasciiScrub: Boolean = false): DataFrame = {
+    val fmt  = LogFormat.compile(logFormat)
+    var raw  = spark.read.text(path).withColumnRenamed("value", "line")
+    // Spell's variant replaces non-ASCII with <NASCII> (Spell.py:297)
+    if (nasciiScrub)
+      raw = raw.withColumn("line", regexp_replace(col("line"), "[^\\x00-\\x7F]+", "<NASCII>"))
+    LogFormat.split(raw, "line", fmt)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.parse.{Drain, DrainConfig, TemplateEntry}
+
+/** Structured Streaming re-expression of the windowing stages (SURVEY.md
+  * §2.10). The reference is pure batch; the engine's window logic is written
+  * so the SAME transforms run under `readStream` — this module is that
+  * claim, made real and tested:
+  *
+  *  - [[windowedEventCounts]]: the W2 time-sliding count aggregate as a
+  *    watermarked streaming window (late data beyond the watermark dropped —
+  *    a semantics the batch reference never had to define).
+  *  - [[anchorSessionIds]]: the W5 anchor-based sessionization as
+  *    `flatMapGroupsWithState` — per-conversation state is just
+  *    (anchor_ts, session_idx), O(1) per key.
+  *
+  * The template dictionary is mined in batch (phase a) and broadcast to the
+  * stream (phase b) — template mining itself is not incremental, matching
+  * the reference's parse-then-process staging.
+  */
+object Streaming {
+
+  /** Phase-b match + watermarked sliding-window counts per event. */
+  def windowedEventCounts(turns: DataFrame, dict: Seq[TemplateEntry],
+                          cfg: DrainConfig, windowSize: String, slide: String,
+                          watermark: String): DataFrame =
+    Drain.matchTemplates(turns, "text", dict, cfg)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowSize, slide), col("event_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("event_id"), col("cnt"))
+
+  final case class TurnEvent(conv_id: String, turn_idx: Int, ts_us: Long)
+  final case class SessionAssign(conv_id: String, turn_idx: Int, session_idx: Int)
+  final case class AnchorState(anchorUs: Long, sessionIdx: Int)
+
+  /** W5 under streaming: anchor-based sub-sessions per conversation. Within
+    * each micro-batch a conversation's rows are processed in turn order;
+    * state carries the running anchor across batches.
+    */
+  def anchorSessionIds(turns: Dataset[TurnEvent], gapSec: Long): Dataset[SessionAssign] = {
+    import turns.sparkSession.implicits._
+    turns.groupByKey(_.conv_id)
+      .flatMapGroupsWithState[AnchorState, SessionAssign](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (conv: String, it: Iterator[TurnEvent], state: GroupState[AnchorState]) =>
+          var st = state.getOption.getOrElse(AnchorState(Long.MinValue, -1))
+          val out = it.toSeq.sortBy(_.turn_idx).map { e =>
+            if (st.anchorUs == Long.MinValue || e.ts_us >= st.anchorUs + gapSec * 1000000L)
+              st = AnchorState(e.ts_us, st.sessionIdx + 1)
+            SessionAssign(conv, e.turn_idx, st.sessionIdx)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

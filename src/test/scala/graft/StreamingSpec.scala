@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Streaming
+import graft.parse.{Drain, DrainConfig}
+import graft.sources.Transcripts
+import java.nio.file.Files
+
+/** The batch windowing logic must produce the same aggregates when run under
+  * Structured Streaming (file source, AvailableNow trigger = one replay).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming windowed event counts == batch result on a replayed file source") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val t = Transcripts.synthetic(spark, 200, seed = 42L, partitions = 4)
+    t.write.mode("overwrite").parquet(s"$dir/in")
+    val cfg  = DrainConfig(4, 0.4)
+    val dict = Drain.mine(spark.read.parquet(s"$dir/in"), "text", cfg)
+
+    // batch reference: same window(ts, ...) aggregate
+    val batch = Drain.matchTemplates(spark.read.parquet(s"$dir/in"), "text", dict, cfg)
+      .groupBy(window(col("ts"), "300 seconds", "60 seconds"), col("event_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("event_id"), col("cnt"))
+      .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .parquet(s"$dir/in")
+    val q = Streaming.windowedEventCounts(stream, dict, cfg,
+        "300 seconds", "60 seconds", "10 minutes")
+      .writeStream
+      .format("memory").queryName("win_counts")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("win_counts")
+      .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === batch)
+  }
+
+  test("streaming anchor sessionization == batch anchorSessions") {
+    val dir = Files.createTempDirectory("graft-stream2").toString
+    val t = Transcripts.synthetic(spark, 50, seed = 7L, partitions = 2)
+    t.write.mode("overwrite").parquet(s"$dir/in")
+
+    val batch = graft.windows.Windows.anchorSessions(
+        spark.read.parquet(s"$dir/in"), gapSec = 300)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .parquet(s"$dir/in")
+      .select(col("conv_id"), col("turn_idx"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .as[Streaming.TurnEvent]
+    val q = Streaming.anchorSessionIds(stream, gapSec = 300)
+      .writeStream.format("memory").queryName("anchor_sessions")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("anchor_sessions")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(got === batch)
+  }
+}
