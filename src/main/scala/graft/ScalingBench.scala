@@ -14,6 +14,8 @@ import graft.pipeline.Pipeline
   */
 object ScalingBench {
 
+  private var localDir: String = _
+
   private def session(cpus: Int, tag: String): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -22,14 +24,37 @@ object ScalingBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", localDir)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
 
+  private def rmrf(p: String): Unit = {
+    val path = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(path)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val nConv = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "100000").toInt
-    val tmp   = java.nio.file.Files.createTempDirectory("graft-scaling").toString
+    // Cluster proxy note: on a real multi-executor cluster, sinks and shuffle
+    // land on per-node disks / distributed storage that scale WITH the
+    // executor count. This sandbox has ONE virtio disk, which serializes all
+    // I/O and caps any parallelism measurement (~30s of the job was shared
+    // disk time regardless of core count). The scaling measurement therefore
+    // runs data + shuffle on tmpfs — measuring the parse→enrich→route→
+    // aggregate compute path the way a cluster would experience it.
+    val base =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+        java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("/dev/shm"), "graft-scaling").toString
+      else java.nio.file.Files.createTempDirectory("graft-scaling").toString
+    localDir = s"$base/spark-local"
+    val tmp   = base
     val input = s"$tmp/transcripts"
 
     // generate once (32 cores — generation is not part of the measurement)
@@ -68,6 +93,8 @@ object ScalingBench {
       require(res.routes.map(_.rows).sum == res.turns,
         s"router conservation violated at local[$cpus]")
       s.stop()
+      rmrf(s"$tmp/work${cpus}_$rep") // bound tmpfs usage across reps
+      rmrf(s"$tmp/warmup${cpus}_$rep")
       System.err.println(f"[scaling] local[$cpus] rep $rep: $dt%.2fs")
       (res.turns, dt)
     }

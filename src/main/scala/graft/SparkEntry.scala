@@ -80,6 +80,14 @@ object SparkEntry {
         col("event_template"), array_join(col("parameters"), "|").as("params"))
     },
 
+    // G1 — session grouping by EXTRACTED id (regex find-all + explode),
+    // the HDFS blk_-style sessionization over text-mentioned keys.
+    "q_session_extract" -> { (s, dir) =>
+      Windows.sessionsByExtractedId(parsed(s, dir), "user [0-9]+")
+        .select(col("session_id"), array_join(col("events"), " ").as("seq"),
+          col("n_rows"))
+    },
+
     // G1/G2 — session grouping: ordered per-conversation event sequence.
     "q_session_seq" -> { (s, dir) =>
       Windows.sessionGroup(parsed(s, dir))
@@ -355,6 +363,15 @@ object SparkEntry {
       """SELECT conv_id, turn_idx, event_id, event_template,
         |       array_to_string(regexp_extract_all(text, '[0-9]+'), '|') AS params
         |FROM parsed""".stripMargin),
+
+    "q_session_extract" -> withP(
+      """SELECT session_id, string_agg(event_id, ' ' ORDER BY turn_idx) AS seq,
+        |       count(*) AS n_rows
+        |FROM (
+        |  SELECT turn_idx, event_id,
+        |         unnest(list_distinct(regexp_extract_all(text, 'user [0-9]+'))) AS session_id
+        |  FROM parsed)
+        |GROUP BY session_id""".stripMargin),
 
     "q_session_seq" -> withP(
       """SELECT conv_id, count(*) AS n_turns,

@@ -27,4 +27,23 @@ object RawLogs {
       raw = raw.withColumn("line", regexp_replace(col("line"), "[^\\x00-\\x7F]+", "<NASCII>"))
     LogFormat.split(raw, "line", fmt)
   }
+
+  /** S11 — fastText-style `.vec` scan (PLELog/data/Embedding.py:105-113):
+    * `word v1 v2 ... vd` per line (optional `count dim` header skipped) →
+    * (word, vector) dim table for broadcast.
+    */
+  def readVecFile(spark: SparkSession, path: String): DataFrame = {
+    val toks = split(trim(col("value")), "\\s+")
+    spark.read.text(path)
+      .select(toks.as("t"))
+      .filter(size(col("t")) > 2) // drops the "n dim" header line
+      .select(element_at(col("t"), 1).as("word"),
+        expr("transform(slice(t, 2, size(t) - 1), x -> cast(x as float))").as("vector"))
+  }
+
+  /** P7 — drop the first k whitespace-separated header tokens of a raw line
+    * (PLELog/data/DataLoader.py:133,158-159).
+    */
+  def dropHeaderTokens(line: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    array_join(slice(split(trim(line), "\\s+"), lit(k + 1), lit(1000000)), " ")
 }

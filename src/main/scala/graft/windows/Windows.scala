@@ -43,6 +43,23 @@ object Windows {
         size(col("__s")).as("n_turns"))
   }
 
+  /** G1 — session grouping by EXTRACTED id (logdeep/dataset/session.py:10-35):
+    * regex-find-all session ids in the text, de-dup per row (U4,
+    * session.py:16), explode — a row mentioning k distinct ids lands in k
+    * sessions — then group with deterministic (turn order) sequences.
+    */
+  def sessionsByExtractedId(df: DataFrame, idRegex: String,
+                            eventCol: String = "event_id"): DataFrame =
+    df.select(col("turn_idx"), col(eventCol),
+        explode(array_distinct(regexp_extract_all(col("text"), lit(idRegex), lit(0))))
+          .as("session_id"))
+      .groupBy(col("session_id"))
+      .agg(
+        sort_array(collect_list(struct(col("turn_idx"), col(eventCol).as("e")))).as("__s"),
+        count(lit(1)).as("n_rows"))
+      .select(col("session_id"),
+        expr("transform(__s, x -> x.e)").as("events"), col("n_rows"))
+
   /** G3 — session tail truncation: keep only the LAST `n` events of long
     * sessions (session.py:29-32).
     */

@@ -56,6 +56,35 @@ class MoreFeaturesSpec extends AnyFunSuite {
     assert(math.abs(out(("e2", 2)) - 4.0 * math.log(2)) < 1e-12)
   }
 
+  test("sessionsByExtractedId: rows mentioning k ids land in k sessions (G1)") {
+    val df = Seq(
+      (0, "e1", "move blk_1 to blk_2"),
+      (1, "e2", "delete blk_1"),
+      (2, "e3", "compact blk_2 blk_2") // duplicate mention counted once
+    ).toDF("turn_idx", "event_id", "text")
+    val out = graft.windows.Windows.sessionsByExtractedId(df, "blk_[0-9]+")
+      .collect().map(r => r.getString(0) -> (r.getSeq[String](1), r.getLong(2))).toMap
+    assert(out("blk_1") === ((Seq("e1", "e2"), 2L)))
+    assert(out("blk_2") === ((Seq("e1", "e3"), 2L)))
+  }
+
+  test("readVecFile parses fastText-style .vec with header (S11)") {
+    val dir = Files.createTempDirectory("graft-vec")
+    Files.writeString(Paths.get(s"$dir/w.vec"),
+      "2 3\nhello 0.1 0.2 0.3\nworld 1 2 3\n")
+    val df = RawLogs.readVecFile(spark, s"$dir/w.vec")
+    val m = df.collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(m("hello") === Seq(0.1f, 0.2f, 0.3f))
+    assert(m("world") === Seq(1f, 2f, 3f))
+    assert(!m.contains("2"))
+  }
+
+  test("dropHeaderTokens removes the first k tokens (P7)") {
+    val out = Seq("a  b c d").toDF("line")
+      .select(RawLogs.dropHeaderTokens(col("line"), 2)).as[String].head()
+    assert(out === "c d")
+  }
+
   test("RawLogs reads and splits a log file by log_format, dropping bad lines") {
     val dir = Files.createTempDirectory("graft-rawlogs")
     Files.writeString(Paths.get(s"$dir/a.log"),
