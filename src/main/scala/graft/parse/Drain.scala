@@ -157,9 +157,14 @@ final class DrainTree(cfg: DrainConfig) extends Serializable {
     }
   }
 
-  /** Insert preserving the template verbatim (frozen match-phase dictionary). */
-  def insertFrozen(seq: Vector[String], count: Long): Unit =
-    addToTree(new LogCluster(seq, count))
+  /** Insert preserving the template verbatim (frozen match-phase dictionary).
+    * Returns the cluster so callers can attach metadata (precomputed ids).
+    */
+  def insertFrozen(seq: Vector[String], count: Long): LogCluster = {
+    val c = new LogCluster(seq, count)
+    addToTree(c)
+    c
+  }
 
   def clusters: Vector[MinedCluster] = {
     val out = Vector.newBuilder[MinedCluster]
@@ -260,10 +265,28 @@ object Drain {
     */
   final class Matcher(entries: Seq[TemplateEntry], cfg: DrainConfig) extends Serializable {
     private val tree = new DrainTree(cfg)
-    entries.foreach(e => tree.insertFrozen(e.event_template.split(" ").toVector, e.occurrences))
+    // cluster identity → id: read-only after construction; identity survives
+    // java serialization (one object graph per broadcast value)
+    private val idByCluster = new java.util.IdentityHashMap[AnyRef, String]()
+    entries.foreach { e =>
+      val c = tree.insertFrozen(e.event_template.split(" ").toVector, e.occurrences)
+      idByCluster.put(c, e.event_id)
+    }
     private val idByTemplate: Map[String, String] =
       entries.map(e => e.event_template -> e.event_id).toMap
     private val scrubRx = cfg.scrub
+
+    /** Id-only match: no per-row template string is built on the hit path. */
+    def matchId(text: String): String = {
+      val toks = tokenize(text, scrubRx)
+      tree.search(toks) match {
+        case Some(c) =>
+          val id = idByCluster.get(c)
+          if (id != null) id else md5_8(c.tokens.mkString(" "))
+        case None =>
+          md5_8(toks.map(t => if (t.exists(_.isDigit)) "<*>" else t).mkString(" "))
+      }
+    }
 
     /** Match one raw text → (event_id, event_template). Unmatched rows fall
       * back to their own digit-masked token sequence (pinned deterministic
@@ -299,6 +322,21 @@ object Drain {
       .withColumn("event_id", col("__m._1"))
       .withColumn("event_template", col("__m._2"))
       .drop("__m")
+  }
+
+  /** Phase (b), id-only variant: when downstream only needs `event_id`
+    * (e.g. the pipeline's slim stage output), skip building the per-row
+    * template string — Catalyst cannot prune inside a UDF, so the pruning
+    * happens here.
+    */
+  def matchEventIds(df: DataFrame, textCol: String, dict: Seq[TemplateEntry],
+                    cfg: DrainConfig): DataFrame = {
+    val spark   = df.sparkSession
+    val matcher = graft.util.Bc(spark.sparkContext.broadcast(new Matcher(dict, cfg)))
+    val idUdf = udf { text: String =>
+      if (text == null) null else matcher.get.matchId(text)
+    }
+    df.withColumn("event_id", idUdf(col(textCol)))
   }
 
   /** End-to-end parse: mine + match in one call. */

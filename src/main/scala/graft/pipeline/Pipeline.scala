@@ -66,7 +66,7 @@ object Pipeline {
       val dict = Drain.mine(transcripts, "text", cfg)
       spark.createDataFrame(dict)
         .write.mode("overwrite").parquet(s"$workDir/dict")
-      Drain.matchTemplates(transcripts, "text", dict, cfg)
+      Drain.matchEventIds(transcripts, "text", dict, cfg)
         .select("conv_id", "turn_idx", "role", "tool", "ts", "event_id")
     })
     val templates = spark.read.parquet(s"$workDir/dict").count().toInt
