@@ -39,6 +39,11 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     var turns = 0L
 
+    // JIT/codegen warmup on the smallest SF so measured numbers are
+    // steady-state (first-run codegen at high thread counts is ~10× slower)
+    Pipeline.run(spark, Transcripts.fromEvents(spark, "/root/testdata/sf0.001"),
+      s"$work/warmup")
+
     // end-to-end pipeline (includes routed sink writes + metrics)
     val (res, tPipe) = timed {
       Pipeline.run(spark, Transcripts.fromEvents(spark, sfDir), s"$work/pipe")
@@ -54,6 +59,10 @@ object Bench {
       "history_window"   -> SparkEntry.queries("q_history"),
       "tfidf"            -> SparkEntry.queries("q_tfidf"),
       "deltat"           -> SparkEntry.queries("q_deltat"),
+      "dedup_exact"      -> SparkEntry.queries("q_dedup_exact"),
+      "minhash_lsh"      -> SparkEntry.queries("q_minhash_lsh"),
+      "ann_brute"        -> SparkEntry.queries("q_ann_brute"),
+      "lang_quality"     -> SparkEntry.queries("q_lang_quality"),
       "q1_agg"           -> SparkEntry.queries("q1_agg")
     )
     singles.foreach { case (name, fn) =>

@@ -285,7 +285,7 @@ object SparkEntry {
     // exact pairs — no SQL oracle, DuckDB lacks xxhash64).
     "q_minhash_lsh" -> { (s, dir) =>
       Dedup.minhashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
-        "doc_id", "text", n = 3, numHashes = 24, bands = 8, tau = 0.3)
+        "doc_id", "text", n = 3, numHashes = 24, bands = 4, tau = 0.3)
     },
 
     // SimHash fingerprints (no SQL oracle — hash not in DuckDB).

@@ -69,6 +69,16 @@ object Transcripts {
     )
   }
 
+  /** Typed facade over [[fromEvents]] (input_hint: typed Dataset at API
+    * boundaries). Timestamps normalized to TIMESTAMP (UTC session).
+    */
+  def typed(spark: SparkSession, sfDir: String): org.apache.spark.sql.Dataset[graft.model.Turn] = {
+    import spark.implicits._
+    fromEvents(spark, sfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .as[graft.model.Turn]
+  }
+
   /** DuckDB CTE computing the identical derivation. Composable: does NOT
     * include the leading `WITH`, so callers can chain further CTEs.
     */

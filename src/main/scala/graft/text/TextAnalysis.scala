@@ -85,9 +85,14 @@ object TextAnalysis {
     * winnowing).
     */
   def rollingMinFingerprint(text: Column, w: Int = 16): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    when(length(norm) < w, md5(norm)).otherwise(
-      array_min(transform(sequence(lit(1), length(norm) - (w - 1)),
-        i => md5(norm.substr(i, lit(w))))))
+    // let-bind the normalized text (see Dedup.shingles): referencing the
+    // regexp_replace subtree inside the per-window lambda would re-run the
+    // regex once per window position
+    element_at(
+      transform(array(regexp_replace(lower(trim(text)), "\\s+", " ")), norm =>
+        when(length(norm) < w, md5(norm)).otherwise(
+          array_min(transform(sequence(lit(1), length(norm) - (w - 1)),
+            i => md5(norm.substr(i, lit(w))))))),
+      1)
   }
 }
