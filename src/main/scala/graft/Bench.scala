@@ -65,8 +65,10 @@ object Bench {
       "lang_quality"     -> SparkEntry.queries("q_lang_quality"),
       "q1_agg"           -> SparkEntry.queries("q1_agg")
     )
+    // best-of-2: the sandbox host shows 2-3× round-to-round CPU steal; the
+    // minimum is the least-interfered estimate (see BASELINE.md methodology)
     singles.foreach { case (name, fn) =>
-      val (_, t) = timed(force(fn(spark, sfDir)))
+      val t = (1 to 2).map(_ => timed(force(fn(spark, sfDir)))._2).min
       results += name -> t
     }
 
