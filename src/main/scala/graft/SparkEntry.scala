@@ -122,6 +122,41 @@ object SparkEntry {
           array_join(col("history"), " ").as("history"), col("next_event"))
     },
 
+    // W2 — time-based sliding windows (size 600s, step 300s).
+    "q_time_window" -> { (s, dir) =>
+      Windows.timeWindows(parsed(s, dir), sizeSec = 600, stepSec = 300)
+        .select(col("conv_id"), col("win_start"),
+          array_join(col("events"), " ").as("events_seq"), col("n"))
+    },
+
+    // O3 — top-k candidate membership over history windows.
+    "q_topk" -> { (s, dir) =>
+      val h = Windows.historyWindows(parsed(s, dir), h = 3)
+      Features.topKMembership(h, k = 3)
+        .select(col("conv_id"), col("turn_idx"), col("next_event"), col("is_anomaly"))
+    },
+
+    // W8 — lead time: first anomalous turn position per conversation.
+    "q_leadtime" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+        .withColumn("anom", when(col("role") === "tool", 1).otherwise(0))
+      Features.leadTime(t, "conv_id", "turn_idx", "anom")
+    },
+
+    // J6 — TF-IDF-weighted template embeddings over deterministic
+    // md5-derived word vectors (both engines can compute them).
+    "q_template_embedding" -> { (s, dir) =>
+      val dict = Drain.mine(transcripts(s, dir), "text", drainCfg)
+      val templates = s.createDataFrame(dict).select("event_id", "event_template")
+      val words = templates
+        .select(explode(split(col("event_template"), "\\s+")).as("word"))
+        .filter(col("word") =!= "<*>").distinct()
+        .withColumn("vector", array((1 to 4).map(i =>
+          ascii(substring(md5(col("word")), i, 1)) / lit(100.0)): _*))
+      Preprocessing.templateEmbeddings(templates, words)
+        .select(col("event_id"), col("dim"), round(col("v"), 6).as("v"))
+    },
+
     // W7/F4 — deltaT between consecutive turns (exact integer micros).
     "q_deltat" -> { (s, dir) =>
       Windows.deltaT(transcripts(s, dir))
@@ -414,6 +449,61 @@ object SparkEntry {
         |  FROM parsed
         |  WINDOW w3 AS (PARTITION BY conv_id ORDER BY turn_idx ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
         |WHERE rn >= 3 AND next_event IS NOT NULL""".stripMargin),
+
+    "q_time_window" -> withP(
+      """, rs AS (
+        |  SELECT conv_id, turn_idx, event_id,
+        |         CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS sec
+        |  FROM parsed)
+        |SELECT conv_id, win_start,
+        |       string_agg(event_id, ' ' ORDER BY turn_idx) AS events_seq,
+        |       count(*) AS n
+        |FROM (
+        |  SELECT conv_id, turn_idx, event_id, sec,
+        |         (CAST(floor(sec / 300) AS BIGINT) - k) * 300 AS win_start
+        |  FROM rs, range(0, 2) t(k))
+        |WHERE sec >= win_start AND sec < win_start + 600
+        |GROUP BY 1, 2""".stripMargin),
+
+    "q_topk" -> withP(
+      """, hist AS (
+        |  SELECT conv_id, turn_idx,
+        |         lead(event_id) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_event,
+        |         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+        |  FROM parsed),
+        |h2 AS (SELECT conv_id, turn_idx, next_event FROM hist
+        |       WHERE rn >= 3 AND next_event IS NOT NULL),
+        |topk AS (SELECT next_event AS e FROM h2 GROUP BY 1
+        |         ORDER BY count(*) DESC, e ASC LIMIT 3)
+        |SELECT conv_id, turn_idx, next_event,
+        |       CASE WHEN t.e IS NULL THEN 1 ELSE 0 END AS is_anomaly
+        |FROM h2 LEFT JOIN topk t ON h2.next_event = t.e""".stripMargin),
+
+    "q_leadtime" -> withT(
+      """SELECT conv_id,
+        |       min(CASE WHEN role = 'tool' THEN turn_idx END) AS first_anomaly_pos,
+        |       max(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS has_anomaly
+        |FROM transcripts GROUP BY 1""".stripMargin),
+
+    "q_template_embedding" -> withP(
+      """, dict AS (SELECT DISTINCT event_id, event_template FROM parsed),
+        |ctoks AS (
+        |  SELECT event_id, unnest(regexp_split_to_array(event_template, '\s+')) AS token
+        |  FROM dict),
+        |ftoks AS (SELECT event_id, token FROM ctoks WHERE token <> '<*>'),
+        |tf AS (SELECT event_id, token, count(*) AS tf FROM ftoks GROUP BY 1, 2),
+        |idf AS (SELECT token,
+        |               ln(CAST((SELECT count(*) FROM dict) AS DOUBLE) / count(*)) AS idf
+        |        FROM tf GROUP BY token),
+        |tok_vec AS (
+        |  SELECT event_id, token, CAST(i AS INT) AS dim,
+        |         ascii(substr(md5(token), CAST(i AS INT), 1)) / 100.0 AS tv
+        |  FROM (SELECT DISTINCT event_id, token FROM ftoks), UNNEST(generate_series(1, 4)) u(i))
+        |SELECT tv.event_id, tv.dim, round(sum(tv.tv * tf.tf * idf.idf), 6) AS v
+        |FROM tok_vec tv
+        |JOIN tf  ON tv.event_id = tf.event_id AND tv.token = tf.token
+        |JOIN idf ON tv.token = idf.token
+        |GROUP BY 1, 2""".stripMargin),
 
     "q_deltat" -> withT(
       """SELECT conv_id, turn_idx,
