@@ -341,6 +341,13 @@ object SparkEntry {
         "vec_id", "embedding", queryIds = (0L until 10L), k = 5)
     },
 
+    // IVF ANN (coarse-quantizer scale path; recall vs brute force in ScalaTest).
+    "q_ann_ivf" -> { (s, dir) =>
+      Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", queryIds = (0L until 10L), k = 5,
+        nLists = 8, nProbe = 4, iters = 2)
+    },
+
     // embedding-cosine near-dup pairs (brute-force baseline).
     "q_embed_dedup" -> { (s, dir) =>
       Dedup.embeddingCosinePairs(s.read.parquet(s"$dir/embeddings.parquet"),

@@ -61,6 +61,82 @@ object Similarity {
     bits.reduce((a, b) => a + b)
   }
 
+  /** IVF (inverted-file) ANN — the second scale path: a deterministic
+    * k-means-lite coarse quantizer (seeded hash-ranked init, fixed
+    * iterations), cluster assignment via broadcast centroids, search probes
+    * the `nProbe` nearest lists and re-ranks exactly inside them. Centroids
+    * are tiny (nLists × dim) → every per-row step is a broadcast lookup; the
+    * only shuffles are the per-iteration centroid averages.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryIds: Seq[Long], k: Int, nLists: Int = 16, nProbe: Int = 4,
+              iters: Int = 3, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    val base  = withNorm(df, idCol, vecCol).cache()
+
+    def nearestCentroid(cents: Array[(Int, Array[Double])]) = {
+      val bc = graft.util.Bc(spark.sparkContext.broadcast(cents))
+      udf { v: Seq[Double] =>
+        var best = -1; var bestD = Double.MaxValue
+        bc.get.foreach { case (cid, c) =>
+          var d = 0.0; var i = 0
+          while (i < c.length) { val x = v(i) - c(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = cid }
+        }
+        best
+      }
+    }
+
+    // deterministic init: the nLists vectors with smallest hash(id, seed)
+    var centroids: Array[(Int, Array[Double])] = base
+      .withColumn("__h", xxhash64(col("id"), lit(seed)))
+      .orderBy(col("__h")).limit(nLists)
+      .select(col("v")).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+
+    (1 to iters).foreach { _ =>
+      val assigned = base.withColumn("cluster", nearestCentroid(centroids)(col("v")))
+      val next = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim").agg(avg(col("x")).as("m"))
+        .groupBy("cluster")
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("s"))
+        .select(col("cluster"), expr("transform(s, p -> p.m)").as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      // keep empty clusters' previous centroids (stable ids)
+      val byId = next.toMap
+      centroids = centroids.map { case (cid, old) => (cid, byId.getOrElse(cid, old)) }
+    }
+
+    val assigned = base.withColumn("cluster", nearestCentroid(centroids)(col("v")))
+    // query → its nProbe nearest centroid lists (distance to centroid, tiny)
+    val probes = assigned.filter(col("id").isInCollection(queryIds))
+      .select(col("id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+      .collect()
+      .flatMap { r =>
+        val qv = r.getSeq[Double](1).toArray
+        centroids.map { case (cid, c) =>
+          var d = 0.0; var i = 0
+          while (i < c.length) { val x = qv(i) - c(i); d += x * x; i += 1 }
+          (r.getLong(0), cid, d)
+        }.sortBy(_._3).take(nProbe).map(t => (t._1, t._2))
+      }
+    import spark.implicits._
+    val probeDf = probes.toSeq.toDF("qid", "cluster")
+    val queries = assigned.filter(col("id").isInCollection(queryIds))
+      .select(col("id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+    assigned.join(broadcast(probeDf), Seq("cluster"))
+      .join(broadcast(queries), Seq("qid"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cosine", round(cosine(col("qv"), col("v"), col("qnorm"), col("norm")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("cosine"))
+  }
+
   /** ANN top-k via LSH buckets: candidates share at least one of the
     * `tables` bucket signatures (multi-probe by table, classic OR-construction
     * over AND-buckets); exact cosine re-rank within candidates.

@@ -98,4 +98,23 @@ class DedupSpec extends AnyFunSuite {
     val recall = (brute intersect lsh).size.toDouble / brute.size
     assert(recall >= 0.5, s"ANN recall $recall")
   }
+
+  test("IVF ANN: planted nearest neighbors found; decent recall; deterministic") {
+    val rng = new scala.util.Random(21)
+    def vec() = Array.fill(16)(rng.nextFloat() * 2 - 1)
+    val base = (0 until 300).map(i => (i.toLong, vec()))
+    val planted = (0 until 5).map { i => (500L + i, base(i)._2.map(_ + 0.001f)) }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val qids = (0L until 5L)
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", qids, 10)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    def ivf() = Similarity.ivfTopK(df, "vec_id", "embedding", qids, 10,
+      nLists = 8, nProbe = 4, iters = 2)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val a = ivf()
+    // the planted twin lands in the same list as its query → always found
+    (0 until 5).foreach(i => assert(a.contains((i.toLong, 500L + i)), s"planted NN missed q$i"))
+    assert((brute intersect a).size.toDouble / brute.size >= 0.5)
+    assert(ivf() === a) // deterministic across runs
+  }
 }
