@@ -77,6 +77,43 @@ final class DrainTree(cfg: DrainConfig) extends Serializable {
     if (maxSim >= cfg.st) Option(best) else None
   }
 
+  /** Array-specialized match path (no per-row Vector): same semantics as
+    * [[search]], used by the broadcast matcher's hot loop.
+    */
+  def searchArr(seq: Array[String]): LogCluster = {
+    val first = rootByLen.getOrElse(seq.length, null)
+    if (first == null) return null
+    var parent = first
+    var depth  = 1
+    var i      = 0
+    while (i < seq.length && depth < cfg.internalDepth && depth <= seq.length) {
+      val tok = seq(i)
+      val n = parent.children.getOrElse(tok, parent.children.getOrElse("<*>", null))
+      if (n == null) return null
+      parent = n
+      depth += 1; i += 1
+    }
+    // fastMatch on arrays
+    val cands = parent.clusters
+    var maxSim = -1.0; var maxPar = -1; var best: LogCluster = null
+    var c = 0
+    while (c < cands.length) {
+      val cl  = cands(c)
+      val tpl = cl.tokens
+      var sim = 0; var par = 0; var j = 0
+      while (j < tpl.length) {
+        val t = tpl(j)
+        if (t == "<*>") par += 1
+        else if (t == seq(j)) sim += 1
+        j += 1
+      }
+      val s = sim.toDouble / tpl.length
+      if (s > maxSim || (s == maxSim && par > maxPar)) { maxSim = s; maxPar = par; best = cl }
+      c += 1
+    }
+    if (maxSim >= cfg.st) best else null
+  }
+
   /** Drain.py:60-86 — descend (length, token-prefix) layers to the leaf. */
   def search(seq: Vector[String]): Option[LogCluster] = {
     rootByLen.get(seq.length).flatMap { first =>
@@ -218,9 +255,20 @@ object Drain {
   def scrub(text: String, regexes: Seq[String]): String =
     regexes.foldLeft(text)((t, r) => pattern(r).matcher(t).replaceAll("<*>"))
 
-  /** Drain.py:258 — whitespace tokenization after scrub. */
+  /** Drain.py:258 — whitespace tokenization after scrub. Array variant is
+    * the hot (match-phase) path: no Vector conversion, no second copy when
+    * there are no empty tokens (the common case).
+    */
+  def tokenizeArr(text: String, scrubRegexes: Seq[String]): Array[String] = {
+    val parts = wsPattern.split(scrub(text, scrubRegexes).trim)
+    var clean = true
+    var i = 0
+    while (clean && i < parts.length) { if (parts(i).isEmpty) clean = false; i += 1 }
+    if (clean) parts else parts.filter(_.nonEmpty)
+  }
+
   def tokenize(text: String, scrubRegexes: Seq[String]): Vector[String] =
-    wsPattern.split(scrub(text, scrubRegexes).trim).toVector.filter(_.nonEmpty)
+    tokenizeArr(text, scrubRegexes).toVector
 
   /** Column-side scrub (codegen'd regexp_replace chain) for plan-level use. */
   def scrubCol(c: Column, regexes: Seq[String]): Column =
@@ -276,15 +324,17 @@ object Drain {
       entries.map(e => e.event_template -> e.event_id).toMap
     private val scrubRx = cfg.scrub
 
-    /** Id-only match: no per-row template string is built on the hit path. */
+    /** Id-only match: no per-row template string or Vector is built on the
+      * hit path (array tokenization + precomputed cluster ids).
+      */
     def matchId(text: String): String = {
-      val toks = tokenize(text, scrubRx)
-      tree.search(toks) match {
-        case Some(c) =>
-          val id = idByCluster.get(c)
-          if (id != null) id else md5_8(c.tokens.mkString(" "))
-        case None =>
-          md5_8(toks.map(t => if (t.exists(_.isDigit)) "<*>" else t).mkString(" "))
+      val toks = tokenizeArr(text, scrubRx)
+      val c    = tree.searchArr(toks)
+      if (c != null) {
+        val id = idByCluster.get(c)
+        if (id != null) id else md5_8(c.tokens.mkString(" "))
+      } else {
+        md5_8(toks.map(t => if (t.exists(_.isDigit)) "<*>" else t).mkString(" "))
       }
     }
 

@@ -58,12 +58,23 @@ object Pipeline {
     a
   }
 
+  /** @param mineFraction fraction of rows the template miner reads. At
+    *        10^12-row scale mining every row is pointless — the dictionary
+    *        converges after a tiny sample; 1.0 (default) mines everything,
+    *        which correctness tests use. Unmatched rows (template outside the
+    *        sampled dictionary) deterministically fall back to their own
+    *        digit-masked template (Drain.Matcher), so routing remains total.
+    */
   def run(spark: SparkSession, transcripts: DataFrame, workDir: String,
-          cfg: DrainConfig = DrainConfig(depth = 4, st = 0.4)): Result = {
+          cfg: DrainConfig = DrainConfig(depth = 4, st = 0.4),
+          mineFraction: Double = 1.0): Result = {
 
     // -- stage 1: parse (slim event stream + dictionary) --------------------
     val (parsedDf, nTurns) = timed("parse")(Router.stageWithCount(spark, s"$workDir/parse") {
-      val dict = Drain.mine(transcripts, "text", cfg)
+      val mineInput =
+        if (mineFraction >= 1.0) transcripts
+        else transcripts.sample(withReplacement = false, mineFraction, seed = 42L)
+      val dict = Drain.mine(mineInput, "text", cfg)
       spark.createDataFrame(dict)
         .write.mode("overwrite").parquet(s"$workDir/dict")
       Drain.matchEventIds(transcripts, "text", dict, cfg)
