@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.pipeline.Pipeline
+import graft.sources.Transcripts
+
+/** spark-submit entry point for the end-to-end job (north rule: "run via
+  * spark-submit"). Local smoke: `sbt "runMain graft.Main <workDir>"`.
+  *
+  *   spark-submit --class graft.Main app.jar <workDir> [transcriptsParquet] [mineFraction]
+  *
+  * With no transcripts path, the driver-testdata derivation is used. The
+  * session is configured for the sandbox (local[*]); under a real cluster
+  * spark-submit's --master/--num-executors take precedence because we only
+  * `getOrCreate()`.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val workDir = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-run").toString)
+    val builder = SparkSession.builder()
+      .appName("graft-pipeline")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+    // spark-submit sets spark.master; only default it for bare runMain
+    val spark = (if (sys.props.contains("spark.master")) builder
+                 else builder.master("local[*]")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val transcripts =
+      if (args.length > 1) spark.read.parquet(args(1))
+      else Transcripts.fromEvents(spark, "/root/testdata/sf0.01")
+    val mineFraction = if (args.length > 2) args(2).toDouble else 1.0
+
+    val res = Pipeline.run(spark, transcripts, workDir, mineFraction = mineFraction)
+    println(s"""{"turns":${res.turns},"templates":${res.templates},""" +
+      s""""windows":${res.windows},"count_vector_rows":${res.countVectorRows},""" +
+      s""""routes":${res.routes.map(m => s"""{"route":"${m.route}","rows":${m.rows}}""").mkString("[", ",", "]")}}""")
+    spark.stop()
+  }
+}

@@ -24,10 +24,17 @@ object Router {
 
   /** Route `df` into `outDir` partitioned by `routeKey`; returns per-sink
     * counts. `maxRecordsPerFile` bounds file sizes at scale.
+    *
+    * Lineage: alongside the per-sink row counts, `_lineage.json` records the
+    * input file set (count + stable digest of the sorted paths) and the
+    * per-sink file counts, so a resumed or re-run job can prove which
+    * snapshot produced each routed partition (the parquet-level stand-in for
+    * Iceberg snapshot ids — no Iceberg runtime ships in this sandbox).
     */
   def fanOut(df: DataFrame, routeKey: String, outDir: String,
              train: Boolean = false, dedupCols: Seq[String] = Nil): Seq[SinkMetrics] = {
     val spark = df.sparkSession
+    val inputFiles = df.inputFiles.sorted
     // train-side dedup only (dataset/data_process.py:163-176)
     val routed = if (train && dedupCols.nonEmpty) df.dropDuplicates(dedupCols) else df
 
@@ -37,15 +44,27 @@ object Router {
       .partitionBy(routeKey)
       .parquet(s"$outDir/data")
 
-    // per-sink counts from the written data (lineage: counts reflect what
-    // actually landed, not what was planned)
-    val counts = spark.read.parquet(s"$outDir/data")
-      .groupBy(col(routeKey)).agg(count(lit(1)).as("rows"))
+    // per-sink counts + file counts from the written data (lineage: counts
+    // reflect what actually landed, not what was planned)
+    val written = spark.read.parquet(s"$outDir/data")
+    val stats = written
+      .withColumn("__file", input_file_name())
+      .groupBy(col(routeKey))
+      .agg(count(lit(1)).as("rows"), countDistinct(col("__file")).as("files"))
       .collect()
-      .map(r => SinkMetrics(Option(r.get(0)).map(_.toString).getOrElse("null"), r.getLong(1)))
-      .toSeq.sortBy(_.route)
+      .map(r => (Option(r.get(0)).map(_.toString).getOrElse("null"),
+        r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
 
+    val counts = stats.map(s => SinkMetrics(s._1, s._2)).toSeq
     writeMetrics(outDir, counts)
+    val inputDigest = graft.parse.Drain.md5_8(inputFiles.mkString("\n"))
+    val lineage = stats.map(s =>
+        s"""{"route":"${s._1}","rows":${s._2},"files":${s._3}}""")
+      .mkString(
+        s"""{"input_files":${inputFiles.length},"input_digest":"$inputDigest","sinks":[""",
+        ",", "]}")
+    Files.writeString(Paths.get(s"$outDir/_lineage.json"), lineage)
     counts
   }
 
