@@ -72,12 +72,24 @@ object Bench {
       results += name -> t
     }
 
+    // throughput-representative run: the sf-dir pipeline is dominated by
+    // fixed per-stage overhead at 10^5 rows; a ~3M-turn synthetic input
+    // (generation excluded from timing) measures sustained turns/sec
+    val largeIn = s"$work/large_in"
+    Transcripts.synthetic(spark, 150000, seed = 42L, partitions = 64)
+      .write.mode("overwrite").parquet(largeIn)
+    val (resL, tLarge) = timed {
+      Pipeline.run(spark, spark.read.parquet(largeIn), s"$work/large")
+    }
+    results += "pipeline_3m_turns" -> tLarge
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
     val tput  = if (tPipe > 0) turns / tPipe else 0.0
+    val tputL = if (tLarge > 0) resL.turns / tLarge else 0.0
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$turns,"pipeline_turns_per_sec":$tput%.1f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$turns,"pipeline_turns_per_sec":$tput%.1f,"large_turns":${resL.turns},"pipeline_large_turns_per_sec":$tputL%.1f}""")
     spark.stop()
   }
 }

@@ -54,6 +54,19 @@ class WindowsSpec extends AnyFunSuite {
     assert(m(t0 + 8) === 2L) // trailing partial
   }
 
+  test("timeWindows: misaligned size/step (5s/2s) covers each row in every valid window") {
+    val df = turns(Map("a" -> 12)) // rows at t0..t0+11, 1/sec
+    val w = Windows.timeWindows(df, sizeSec = 5, stepSec = 2)
+      .select("win_start", "n").as[(Long, Long)].collect().toMap
+    val t0 = 1700000000L
+    // brute-force oracle: for each step-multiple window, count covered rows
+    val expected = (for {
+      ws <- (t0 - 10) to (t0 + 20) if ws % 2 == 0
+      n = (0 until 12).count(s => t0 + s >= ws && t0 + s < ws + 5) if n > 0
+    } yield ws -> n.toLong).toMap
+    assert(w === expected)
+  }
+
   test("historyWindows emits trailing h-window + next event label") {
     val h = Windows.historyWindows(turns(Map("a" -> 6)), h = 3)
       .orderBy("turn_idx")
