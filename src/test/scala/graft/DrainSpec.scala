@@ -103,6 +103,35 @@ class DrainSpec extends AnyFunSuite {
     assert(tpl === "never seen <*> before today at all")
   }
 
+  test("deeper tree (depth=5) still matches the single-threaded oracle") {
+    import spark.implicits._
+    val deep = DrainConfig(depth = 5, st = 0.5, maxChild = 100)
+    val texts = syntheticTexts(1200)
+    val mined = Drain.mine(texts.toDF("text").repartition(6), "text", deep)
+    val tree = new DrainTree(deep)
+    texts.foreach(t => tree.insert(Drain.tokenize(t, Nil)))
+    assert(mined === Drain.mergePartials(tree.clusters, deep))
+  }
+
+  test("maxChild cap: token fan-out beyond the cap falls into the <*> child (Drain.py:111-129)") {
+    val cfg3 = DrainConfig(depth = 4, st = 0.5, maxChild = 3)
+    val tree = new DrainTree(cfg3)
+    // same length, distinct non-digit first tokens exceed maxChild
+    Seq("aa x", "bb x", "cc x", "dd x", "ee x").foreach(t =>
+      tree.insert(Drain.tokenize(t, Nil)))
+    val cl = tree.clusters
+    assert(cl.map(_.count).sum === 5)
+    // overflow tokens merged under the wildcard child → fewer clusters than lines
+    assert(cl.size < 5, s"maxChild cap did not bound fan-out: ${cl.map(_.tokens)}")
+  }
+
+  test("scrub regexes are applied before tokenization (P3)") {
+    val cfg2 = DrainConfig(depth = 4, st = 0.4,
+      scrub = Seq("""\d+\.\d+\.\d+\.\d+""", """blk_-?\d+"""))
+    assert(Drain.tokenize("got blk_-123 from 10.2.3.44 ok", cfg2.scrub) ===
+      Vector("got", "<*>", "from", "<*>", "ok"))
+  }
+
   test("full parse on the events-derived transcripts yields the 5 expected templates") {
     val t = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
     val dict = Drain.mine(t, "text", cfg)

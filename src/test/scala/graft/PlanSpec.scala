@@ -63,6 +63,27 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs >= 4, s"expected two-level aggregate, got $aggs HashAggregate nodes:\n$plan")
   }
 
+  test("fixedWindows reuses the conv_id exchange for the window aggregate") {
+    val t = Transcripts.fromEvents(spark, dir).withColumn("event_id", lit("e"))
+    val plan = finalPlan(graft.windows.Windows.fixedWindows(t, 4, 2))
+      .split("== Initial Plan ==")(0) // assert on the executed (final) plan only
+    // exactly 2 exchanges: the transcripts derivation's user_id window + ONE
+    // conv_id exchange serving both the row-number window AND the final
+    // groupBy(conv_id, win_start) — hashpartitioning(conv_id) satisfies the
+    // aggregate's clustering, so no third shuffle appears
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 2, s"fixedWindows shuffles too much ($exchanges):\n$plan")
+    assert(!plan.contains("CartesianProduct"), "cartesian in fixedWindows")
+  }
+
+  test("ngram-Jaccard near-dup join is a shuffle join on the shingle key, never cartesian") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = finalPlan(
+      graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3))
+    assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join crept in:\n$plan")
+  }
+
   test("count vectors keep whole-stage codegen (no UDF in the aggregate path)") {
     val parsed = Seq(("c1", "e1"), ("c1", "e2")).toDF("conv_id", "event_id")
     val plan = finalPlan(Features.countVectors(parsed, Seq("conv_id")))
