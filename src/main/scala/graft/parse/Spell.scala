@@ -53,8 +53,10 @@ final class SpellTree(tau: Double) extends Serializable {
           if (child.cluster != null) {
             val constLen = child.cluster.template.count(_ != "<*>")
             if (constLen >= tau * seq.length) return child.cluster
-            // fall through to deeper search from the next position
-            return prefixTreeMatch(child, seq, i + 1)
+            // below the tau bar: the reference falls through and keeps
+            // scanning siblings at THIS level (Spell.py:101-104), it does
+            // not descend
+            i += 1
           } else return prefixTreeMatch(child, seq, i + 1)
         case None => i += 1
       }
