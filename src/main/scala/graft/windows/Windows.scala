@@ -168,15 +168,40 @@ object Windows {
   }
 
   /** O9 — positional train/test split over the stable global order
-    * (dataset/data_process.py:99): rank rows by (conv_id, turn_idx) and cut at
-    * fraction `trainFrac`. At scale the ntile-style global rank is the only
-    * inherently global step; it is computed with a single range-partitioned
-    * rank (no driver collect).
+    * (dataset/data_process.py:99): rank rows by (conv_id, turn_idx) and cut
+    * at fraction `trainFrac`.
+    *
+    * A `row_number() over (orderBy ...)` window would coalesce everything
+    * into ONE partition — the classic global-sort trap (SURVEY.md §7.3.3).
+    * Scalable form: range-partition + sort within partitions (a distributed
+    * sort), collect only the tiny per-partition row counts, and assign the
+    * global index as partition-offset + local position.
     */
   def positionalSplit(df: DataFrame, trainFrac: Double): DataFrame = {
-    val n = df.count()
-    val cut = math.floor(n * trainFrac).toLong
-    val rn  = row_number().over(W.orderBy(col("conv_id"), col("turn_idx")))
-    df.withColumn("split", when(rn <= cut, lit("train")).otherwise(lit("test")))
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+      .cache()
+    // per-partition counts: one Long per partition — always tiny
+    val counts = sorted.toDF().rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val total = counts.sum
+    val cut   = math.floor(total * trainFrac).toLong
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema :+ org.apache.spark.sql.types.StructField(
+        "split", org.apache.spark.sql.types.StringType, nullable = false))
+    val rows = sorted.toDF().rdd.mapPartitionsWithIndex { (i, it) =>
+      var idx = bc.value(i)
+      it.map { r =>
+        idx += 1
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (if (idx <= cut) "train" else "test"))
+      }
+    }
+    spark.createDataFrame(rows, schema)
   }
 }
