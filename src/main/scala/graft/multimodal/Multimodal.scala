@@ -63,4 +63,40 @@ object Multimodal {
       }
     }
   }
+
+  final case class Frame(doc_id: Long, frame_idx: Int, offset_ms: Int,
+                         frame_digest: String)
+
+  /** Frame sampling: `n` evenly spaced frames per media row (video shape:
+    * 1 row → n rows, generator/UDTF-shaped). The frame "decode" is the same
+    * clearly-marked stub — a deterministic digest of (payload, offset) — but
+    * the Spark plumbing (flatMap blowup, typed schema, partition locality)
+    * is exactly what a real ffmpeg-backed extractor would use.
+    */
+  def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val (_, _, durationMs, _) = decodeStub(r.media)
+      (0 until n).map { i =>
+        val offset = if (n == 1) 0 else (durationMs.toLong * i / (n - 1)).toInt
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(r.media)
+        md.update(java.nio.ByteBuffer.allocate(4).putInt(offset).array())
+        // ??? real frame grab goes here — container has no video codecs.
+        Frame(r.doc_id, i, offset, md.digest().take(4).map(b => f"${b & 0xff}%02x").mkString)
+      }
+    }
+  }
+
+  /** Resize stub: aspect-preserving target dimensions from the (stub-)decoded
+    * size — the arithmetic a real resize kernel would receive.
+    */
+  def resizePlan(features: Dataset[MediaFeatures], targetWidth: Int): Dataset[(Long, Int, Int)] = {
+    import features.sparkSession.implicits._
+    features.map { f =>
+      val w = math.max(1, f.width)
+      val scale = targetWidth.toDouble / w
+      (f.doc_id, targetWidth, math.max(1, math.round(f.height * scale).toInt))
+    }
+  }
 }

@@ -57,6 +57,27 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(feats.toSeq === again.toSeq)
   }
 
+  test("frame sampling: n evenly spaced frames per media row, deterministic digests") {
+    val docs = Seq((1L, "a video payload of sorts")).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, 4).collect().sortBy(_.frame_idx)
+    assert(frames.length === 4)
+    assert(frames.head.offset_ms === 0)
+    assert(frames.map(_.offset_ms).toSeq === frames.map(_.offset_ms).toSeq.sorted)
+    assert(frames.map(_.frame_digest).distinct.length === 4) // offset-keyed
+    val again = Multimodal.sampleFrames(media, 4).collect().sortBy(_.frame_idx)
+    assert(frames.toSeq === again.toSeq)
+  }
+
+  test("resize plan preserves aspect ratio from decoded dimensions") {
+    val docs = Seq((1L, "an image payload")).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(Multimodal.asMedia(docs, "doc_id", "text"))
+    val f = feats.head()
+    val (_, w, h) = Multimodal.resizePlan(feats, 640).head()
+    assert(w === 640)
+    assert(math.abs(h.toDouble / 640 - f.height.toDouble / math.max(1, f.width)) < 0.01)
+  }
+
   test("logFormat compiler splits headers like the reference (Drain.py:319-334)") {
     val fmt = LogFormat.compile("<Date> <Time> <Pid> <Level> <Component>: <Content>")
     assert(fmt.headers === Seq("Date", "Time", "Pid", "Level", "Component", "Content"))
