@@ -33,6 +33,19 @@ class RouterSpec extends AnyFunSuite {
     assert(metrics.map(m => m.route -> m.rows).toMap === Map("t" -> 2L, "u" -> 1L))
   }
 
+  test("fanOut handles high-cardinality routing (500 sinks) with conservation + lineage") {
+    val df = (0 until 5000).map(i => (s"r${i % 500}", i)).toDF("route", "v")
+    val dir = tmp()
+    val metrics = Router.fanOut(df, "route", dir)
+    assert(metrics.size === 500)
+    assert(metrics.map(_.rows).sum === 5000L)
+    assert(metrics.forall(_.rows == 10L))
+    val lineage = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_lineage.json")))
+    assert(lineage.contains("\"input_digest\""))
+    assert("\"files\":".r.findAllIn(lineage).size === 500)
+  }
+
   test("stage: checkpoint-resume skips completed stages, outputs identical") {
     val dir = tmp()
     var computed = 0
