@@ -132,6 +132,38 @@ class DrainSpec extends AnyFunSuite {
       Vector("got", "<*>", "from", "<*>", "ok"))
   }
 
+  test("stress: adversarial aliased corpus — conservation, determinism, total match") {
+    // 200 shapes sharing prefixes ("svc <dc> verb noun <id> tags…"): Drain's
+    // order-dependence makes different-but-valid dictionaries possible here
+    // (SURVEY.md §7.3.1) — what the design DOES guarantee, and this test
+    // pins, is (a) occurrence conservation, (b) rerun determinism of the
+    // whole two-phase parse under fixed partitioning, (c) every row gets a
+    // deterministic template (dictionary hit or pinned fallback).
+    import spark.implicits._
+    val rng = new scala.util.Random(99)
+    val shapes = (0 until 200).map { t =>
+      val verb  = Vector("started", "stopped", "flushed", "retried", "scaled")(t % 5)
+      val noun  = Vector("shard", "segment", "worker", "queue", "lease")(t / 5 % 5)
+      val extra = (0 until t % 4).map(j => s"tag$j").mkString(" ")
+      (i: Int) => s"svc ${i % 7} $verb $noun ${i % 1000} $extra".trim
+    }
+    val texts = (0 until 40000).map(i => shapes(rng.nextInt(200))(rng.nextInt(100000)))
+    val df = texts.toDF("text").repartition(16).cache()
+    val mined  = Drain.mine(df, "text", cfg)
+    val mined2 = Drain.mine(df, "text", cfg)
+    assert(mined === mined2, "mine not deterministic for fixed partitioning")
+    assert(mined.map(_.occurrences).sum === 40000L)
+    val a1 = Drain.matchTemplates(df, "text", mined, cfg)
+      .groupBy("event_template").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a2 = Drain.matchTemplates(df, "text", mined, cfg)
+      .groupBy("event_template").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a1 === a2, "match phase not deterministic")
+    assert(a1.values.sum === 40000L, "match phase dropped rows")
+    df.unpersist()
+  }
+
   test("full parse on the events-derived transcripts yields the 5 expected templates") {
     val t = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
     val dict = Drain.mine(t, "text", cfg)
