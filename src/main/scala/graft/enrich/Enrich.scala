@@ -11,10 +11,19 @@ object Enrich {
   /** J1 — session-label join: conv_id → {0,1}
     * (dataset/data_process.py:129-136). Left-outer with default mirrors the
     * reference's `.get(x)` null-on-miss (hdfs_data_process.py:67).
+    *
+    * `broadcastDim=true` fits the reference's file-sized label dicts. For a
+    * PER-CONVERSATION label dim at 10^12-turn scale (≈10^9 conversations) a
+    * forced broadcast would be wrong — pass false and let AQE pick
+    * broadcast-vs-shuffle from runtime stats; the shuffle side co-partitions
+    * with every downstream conv_id exchange anyway.
     */
-  def convLabels(df: DataFrame, labels: DataFrame, default: Int = 0): DataFrame =
-    df.join(broadcast(labels), Seq("conv_id"), "left")
+  def convLabels(df: DataFrame, labels: DataFrame, default: Int = 0,
+                 broadcastDim: Boolean = true): DataFrame = {
+    val dim = if (broadcastDim) broadcast(labels) else labels
+    df.join(dim, Seq("conv_id"), "left")
       .withColumn("label", coalesce(col("label"), lit(default)))
+  }
 
   /** J2 — template-dictionary join: event_id → template text/metadata
     * (PLELog/data/DataLoader.py:287-302).

@@ -67,7 +67,8 @@ object Pipeline {
     */
   def run(spark: SparkSession, transcripts: DataFrame, workDir: String,
           cfg: DrainConfig = DrainConfig(depth = 4, st = 0.4),
-          mineFraction: Double = 1.0): Result = {
+          mineFraction: Double = 1.0,
+          maxSessionTurns: Int = 4096): Result = {
 
     // -- stage 1: parse (slim event stream + dictionary) --------------------
     val (parsedDf, nTurns) = timed("parse")(Router.stageWithCount(spark, s"$workDir/parse") {
@@ -89,17 +90,24 @@ object Pipeline {
     })
 
     // -- stage 3: route (the one fan-out materialization) --------------------
+    // label dim is conv-cardinality → no forced broadcast; AQE decides from
+    // runtime stats (it broadcasts at bench scale, shuffles at 10^12 scale)
     val routes =
       if (Router.isComplete(s"$workDir/route"))
         Router.readMetrics(s"$workDir/route")
       else
         timed("route")(Router.fanOut(
-          Enrich.convLabels(parsedDf, labels), "event_id", s"$workDir/route"))
+          Enrich.convLabels(parsedDf, labels, broadcastDim = false),
+          "event_id", s"$workDir/route"))
     val enriched = spark.read.parquet(s"$workDir/route/data")
 
     // -- stage 4: aggregate ---------------------------------------------------
     val (_, nWindows) = timed("windows")(Router.stageWithCount(spark, s"$workDir/windows") {
-      Windows.sessionGroup(enriched, labelCol = Some("label"))
+      // G3 tail bound BEFORE collect_list: a pathological giant conversation
+      // is truncated to its last maxSessionTurns turns (session.py:29-32),
+      // so no aggregation buffer scales with the worst conversation
+      Windows.sessionGroup(Windows.lastNTurns(enriched, maxSessionTurns),
+          labelCol = Some("label"))
         .withColumn("label", element_at(col("labels"), 1))
         .drop("labels")
     })
