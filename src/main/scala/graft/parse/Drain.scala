@@ -285,7 +285,7 @@ object Drain {
           tree.clusters.iterator
         }(org.apache.spark.sql.Encoders.product[MinedCluster])
         .collect()
-    mergePartials(partials, cfg)
+    mergePartials(partials.toIndexedSeq, cfg)
   }
 
   /** Deterministic driver-side merge: replay partials through a fresh tree in

@@ -210,7 +210,7 @@ object Spell {
           tree.clusters.iterator
         }(org.apache.spark.sql.Encoders.product[MinedCluster])
         .collect()
-    mergePartials(partials, tau)
+    mergePartials(partials.toIndexedSeq, tau)
   }
 
   def mergePartials(partials: Seq[MinedCluster], tau: Double): Vector[TemplateEntry] = {
