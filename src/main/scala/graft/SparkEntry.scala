@@ -385,6 +385,30 @@ object SparkEntry {
       Multimodal.extractFeatures(Multimodal.asMedia(d, "doc_id", "text")).toDF()
     },
 
+    // P8 — anomaly-rate counter.
+    "q_anomaly_rate" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+        .withColumn("label", when(col("role") === "tool", 1).otherwise(0))
+      Features.anomalyRate(t, "label")
+        .select(col("n"), col("n_anomalous"), round(col("anomaly_rate"), 6).as("anomaly_rate"))
+    },
+
+    // U2 — anti-membership filter: drop turns of flagged conversations.
+    "q_anti_filter" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+      val deny = t.filter(col("role") === "tool").select("conv_id")
+      Preprocessing.antiFilter(t.select("conv_id", "turn_idx"), deny, Seq("conv_id"))
+    },
+
+    // F5 — camel-case split (pure column expression).
+    "q_camel" -> { (s, dir) =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"),
+        array_join(Preprocessing.camelSplit(
+          concat(lit("docId"), col("doc_id"), lit("FromHTTPSource"), upper(col("source")))), "|")
+          .as("parts"))
+    },
+
     // sanity: TPC-H-ish aggregate over lineitem.
     "q1_agg" -> { (s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -749,6 +773,25 @@ object SparkEntry {
         |  CAST((ascii(substr(md5(text), 3, 1)) * 256 + ascii(substr(md5(text), 4, 1))) % 1080 AS INT) AS height,
         |  CAST((ascii(substr(md5(text), 5, 1)) * 256 + ascii(substr(md5(text), 6, 1))) * 10 AS INT) AS duration_ms,
         |  md5(text) AS digest
+        |FROM documents""".stripMargin,
+
+    "q_anomaly_rate" -> withT(
+      """SELECT count(*) AS n,
+        |       CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+        |       round(avg(CASE WHEN role = 'tool' THEN 1 ELSE 0 END), 6) AS anomaly_rate
+        |FROM transcripts""".stripMargin),
+
+    "q_anti_filter" -> withT(
+      """SELECT conv_id, turn_idx FROM transcripts
+        |WHERE conv_id NOT IN (SELECT DISTINCT conv_id FROM transcripts WHERE role = 'tool')""".stripMargin),
+
+    "q_camel" ->
+      """SELECT doc_id,
+        |  array_to_string(regexp_split_to_array(
+        |    regexp_replace(
+        |      regexp_replace(concat('docId', doc_id, 'FromHTTPSource', upper(source)),
+        |                     '([a-z0-9])([A-Z])', '\1 \2', 'g'),
+        |      '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'), '\s+'), '|') AS parts
         |FROM documents""".stripMargin,
 
     "q1_agg" ->
