@@ -79,6 +79,31 @@ class FeaturesSpec extends AnyFunSuite {
     assert(r.filter(col("is_anomaly") === 1).select("next_event").as[String].head() === "z")
   }
 
+  test("template/meta/embedding enrich joins (J2/J3/role-tool) defaults and row counts") {
+    val rows = Seq(("e1", "user", "search"), ("e2", "tool", null))
+      .toDF("event_id", "role", "tool")
+    // J2: template dict join
+    val dict = Seq(("e1", "user <*> did <*>", 10L)).toDF("event_id", "event_template", "occurrences")
+    val j2 = Enrich.templates(rows, dict)
+    assert(j2.count() === 2)
+    assert(j2.filter(col("event_id") === "e2").select("event_template").head().isNullAt(0))
+    // role/tool meta join (null-safe on the tool column requires exact match)
+    val meta = Seq(("user", "search", "web", 0)).toDF("role", "tool", "route_hint", "is_flagged")
+    val m = Enrich.roleToolMeta(rows, meta)
+    assert(m.count() === 2)
+    assert(m.filter(col("event_id") === "e1").select("route_hint").as[String].head() === "web")
+    // J3: embedding join with [-1]*dim default on miss (sample.py:106-108)
+    val vecs = Seq(("e1", Seq(0.5f, 0.5f))).toDF("event_id", "vector")
+    val j3 = Enrich.embeddings(rows, vecs, dim = 2)
+    val missVec = j3.filter(col("event_id") === "e2").select("vector").as[Seq[Float]].head()
+    assert(missVec === Seq(-1.0f, -1.0f))
+    // J5: dense ids, unknown → 0
+    val vocab = Seq(("e1", 7L, 1)).toDF("event_id", "freq", "vocab_id")
+    val j5 = Enrich.denseIds(rows, vocab)
+    assert(j5.filter(col("event_id") === "e1").select("vocab_id").as[Int].head() === 1)
+    assert(j5.filter(col("event_id") === "e2").select("vocab_id").as[Int].head() === 0)
+  }
+
   test("broadcast enrich joins preserve row count and default on miss") {
     val t = Seq(("c1", 0), ("c1", 1), ("c2", 0)).toDF("conv_id", "turn_idx")
     val labels = Seq(("c1", 1)).toDF("conv_id", "label")
