@@ -95,6 +95,25 @@ object SparkEntry {
           array_join(col("events"), " ").as("seq"))
     },
 
+    // G3 — session tail truncation (last 20 events per conversation).
+    "q_session_tail" -> { (s, dir) =>
+      Windows.sessionTail(Windows.sessionGroup(parsed(s, dir)), 20)
+        .select(col("conv_id"), array_join(col("events"), " ").as("tail_seq"),
+          size(col("events")).as("n_kept"))
+    },
+
+    // W6 — fixed-length positional chunks (PLELog fixLength).
+    "q_chunk_by_size" -> { (s, dir) =>
+      Windows.chunkBySize(parsed(s, dir), 120)
+        .groupBy(col("conv_id"), col("chunk_id"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // O9 — positional train/test split over the stable global order.
+    "q_positional_split" -> { (s, dir) =>
+      Windows.positionalSplit(transcripts(s, dir).select("conv_id", "turn_idx"), 0.8)
+    },
+
     // G7 — event-count vectors per conversation (exploded form).
     "q_count_vector" -> { (s, dir) =>
       Features.countVectors(parsed(s, dir), Seq("conv_id"))
@@ -443,6 +462,31 @@ object SparkEntry {
       """SELECT conv_id, count(*) AS n_turns,
         |       string_agg(event_id, ' ' ORDER BY turn_idx) AS seq
         |FROM parsed GROUP BY conv_id""".stripMargin),
+
+    "q_session_tail" -> withP(
+      """, sess AS (
+        |  SELECT conv_id, list(event_id ORDER BY turn_idx) AS seq FROM parsed GROUP BY 1)
+        |SELECT conv_id,
+        |  CASE WHEN len(seq) >= 20 THEN array_to_string(seq[-20:], ' ')
+        |       ELSE array_to_string(seq, ' ') END AS tail_seq,
+        |  CAST(least(len(seq), 20) AS INT) AS n_kept
+        |FROM sess""".stripMargin),
+
+    "q_chunk_by_size" -> withP(
+      """, rns AS (
+        |  SELECT conv_id,
+        |         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS rn
+        |  FROM parsed)
+        |SELECT conv_id, CAST(floor(rn / 120) AS BIGINT) AS chunk_id, count(*) AS n
+        |FROM rns GROUP BY 1, 2""".stripMargin),
+
+    "q_positional_split" -> withT(
+      """, n AS (SELECT count(*) AS total FROM transcripts)
+        |SELECT conv_id, turn_idx,
+        |  CASE WHEN row_number() OVER (ORDER BY conv_id, turn_idx) <=
+        |            CAST(floor((SELECT total FROM n) * 0.8) AS BIGINT)
+        |       THEN 'train' ELSE 'test' END AS split
+        |FROM transcripts""".stripMargin),
 
     "q_count_vector" -> withP(
       """SELECT conv_id, event_id, count(*) AS cnt

@@ -86,6 +86,19 @@ class PreprocessingSpec extends AnyFunSuite {
     assert(out.map(_._2) === Array(Seq("1", "2", "3"), Seq("4", "5", "6"), Seq("7")))
   }
 
+  test("downSample / stratifiedSample: seeded, deterministic, fraction-plausible") {
+    val df = (0 until 2000).map(i => (i.toLong, i % 2)).toDF("id", "label").repartition(7)
+    val a = Preprocessing.downSample(df, 0.3, seed = 88L).select("id").as[Long].collect().sorted
+    val b = Preprocessing.downSample(df, 0.3, seed = 88L).select("id").as[Long].collect().sorted
+    assert(a sameElements b) // same seed → same sample
+    assert(a.length > 400 && a.length < 800)
+    val s = Preprocessing.stratifiedSample(df, "label", Map(0 -> 0.5, 1 -> 0.1), seed = 88L)
+    val byLabel = s.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byLabel(0) > 350 && byLabel(0) < 650)
+    assert(byLabel(1) < 220)
+  }
+
   test("zeroMean / sigmoidNonzero formulas") {
     val cv = Seq(("g1", "a", 2L), ("g2", "a", 4L)).toDF("conv_id", "event_id", "cnt")
     val zm = Preprocessing.zeroMean(cv).select("cnt_centered").as[Double].collect().sorted
