@@ -34,6 +34,29 @@ object Streaming {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("win_start"), col("event_id"), col("cnt"))
 
+  /** S8/S9 under streaming: per-micro-batch router fan-out via
+    * `foreachBatch` — each batch lands `partitionBy(routeKey)` in append
+    * mode with a per-batch metrics sidecar, so routed-row accounting stays
+    * exact across the stream (idempotent per batch id: a replayed batch
+    * overwrites its own sidecar).
+    */
+  def routedSink(df: DataFrame, routeKey: String, outDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      batch.write
+        .mode("append")
+        .partitionBy(routeKey)
+        .parquet(s"$outDir/data")
+      val counts = batch.groupBy(col(routeKey)).agg(count(lit(1)).as("rows"))
+        .collect()
+        .map(r => s"""{"route":"${r.get(0)}","rows":${r.getLong(1)}}""")
+        .mkString("[", ",", "]")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/_metrics_batch_$batchId.json"), counts)
+      ()
+    }
+
   final case class TurnEvent(conv_id: String, turn_idx: Int, ts_us: Long)
   final case class SessionAssign(conv_id: String, turn_idx: Int, session_idx: Int)
   final case class AnchorState(anchorUs: Long, sessionIdx: Int)

@@ -7,6 +7,7 @@ import graft.streaming.Streaming
 import graft.parse.{Drain, DrainConfig}
 import graft.sources.Transcripts
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** The batch windowing logic must produce the same aggregates when run under
   * Structured Streaming (file source, AvailableNow trigger = one replay).
@@ -44,6 +45,37 @@ class StreamingSpec extends AnyFunSuite {
     val got = spark.table("win_counts")
       .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
     assert(got === batch)
+  }
+
+  test("streaming routed sink: fan-out conservation + per-batch metrics") {
+    val dir = Files.createTempDirectory("graft-stream-route").toString
+    val t = Transcripts.synthetic(spark, 100, seed = 11L, partitions = 3)
+    t.write.mode("overwrite").parquet(s"$dir/in")
+    val total = t.count()
+    val cfg  = graft.parse.DrainConfig(4, 0.4)
+    val dict = graft.parse.Drain.mine(spark.read.parquet(s"$dir/in"), "text", cfg)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .parquet(s"$dir/in")
+    val routed = graft.parse.Drain.matchEventIds(stream, "text", dict, cfg)
+      .select("conv_id", "turn_idx", "event_id")
+    val q = graft.streaming.Streaming.routedSink(routed, "event_id", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val back = spark.read.parquet(s"$dir/out/data")
+    assert(back.count() === total)
+    assert(back.groupBy("event_id").count().count() === dict.size.toLong)
+    // per-batch metrics sidecars sum to the input count
+    val metricRows = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/out"))
+      .iterator().asScala.filter(_.getFileName.toString.startsWith("_metrics_batch_"))
+      .flatMap(p => """"rows":(\d+)""".r.findAllMatchIn(
+        new String(java.nio.file.Files.readAllBytes(p))).map(_.group(1).toLong))
+      .sum
+    assert(metricRows === total)
   }
 
   test("streaming anchor sessionization == batch anchorSessions") {
