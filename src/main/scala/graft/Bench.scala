@@ -61,6 +61,7 @@ object Bench {
       "deltat"           -> SparkEntry.queries("q_deltat"),
       "dedup_exact"      -> SparkEntry.queries("q_dedup_exact"),
       "minhash_lsh"      -> SparkEntry.queries("q_minhash_lsh"),
+      "embed_dedup_lsh"  -> SparkEntry.queries("q_embed_dedup_lsh"),
       "ann_brute"        -> SparkEntry.queries("q_ann_brute"),
       "lang_quality"     -> SparkEntry.queries("q_lang_quality"),
       "q1_agg"           -> SparkEntry.queries("q1_agg")
@@ -88,8 +89,13 @@ object Bench {
     val total = results.values.sum
     val tput  = if (tPipe > 0) turns / tPipe else 0.0
     val tputL = if (tLarge > 0) resL.turns / tLarge else 0.0
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$turns,"pipeline_turns_per_sec":$tput%.1f,"large_turns":${resL.turns},"pipeline_large_turns_per_sec":$tputL%.1f}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$turns,"pipeline_turns_per_sec":$tput%.1f,"large_turns":${resL.turns},"pipeline_large_turns_per_sec":$tputL%.1f}"""
+    // stdout (unprefixed — build.sbt sets run/outputStrategy := StdoutOutput)
+    // AND a file, so the driver can parse the metrics either way
+    println(line)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), line + "\n")
     spark.stop()
   }
 }

@@ -148,6 +148,27 @@ object SparkEntry {
           array_join(col("events"), " ").as("events_seq"), col("n"))
     },
 
+    // W2(b) — GLOBAL time windows (no session key): whole-log hour-window
+    // shape of loglizer/dataloader.py:193-247, count-vector output.
+    "q_time_window_global" -> { (s, dir) =>
+      Windows.timeWindowsGlobal(parsed(s, dir), sizeSec = 600, stepSec = 300)
+    },
+
+    // O3 (true per-row semantics) — top-k over a per-row score array with
+    // rank recorded (predict.py:99-111); scores are a deterministic
+    // md5-derived stand-in for model logits, computable by both engines.
+    "q_topk_rank" -> { (s, dir) =>
+      val scored = transcripts(s, dir).select(
+        col("conv_id"), col("turn_idx"),
+        transform(sequence(lit(1), lit(8)), i =>
+          ascii(substring(md5(concat(
+            col("conv_id"), lit("-"), col("turn_idx").cast("string"),
+            lit("-"), i.cast("string"))), 1, 1))).as("scores"),
+        (pmod(col("turn_idx"), lit(8)) + 1).as("true_label"))
+      Features.topKRank(scored, "scores", "true_label", k = 3)
+        .select("conv_id", "turn_idx", "true_label", "rank", "is_anomaly")
+    },
+
     // O3 — top-k candidate membership over history windows.
     "q_topk" -> { (s, dir) =>
       val h = Windows.historyWindows(parsed(s, dir), h = 3)
@@ -367,10 +388,30 @@ object SparkEntry {
         nLists = 8, nProbe = 4, iters = 2)
     },
 
-    // embedding-cosine near-dup pairs (brute-force baseline).
+    // embedding-cosine near-dup pairs, brute-force SMALL-CORPUS BASELINE —
+    // kept only as the DuckDB-checkable ground truth for the LSH path below.
     "q_embed_dedup" -> { (s, dir) =>
       Dedup.embeddingCosinePairs(s.read.parquet(s"$dir/embeddings.parquet"),
         "vec_id", "embedding", tau = 0.35)
+    },
+
+    // embedding-cosine near-dup pairs at scale: hyperplane-LSH bucketed
+    // equi-join + exact re-rank (the DEFAULT path; approximate recall, so no
+    // SQL oracle — ScalaTest checks recall vs the brute-force baseline and
+    // PlanSpec asserts no nested-loop join). 4 planes × 8 tables because the
+    // synthetic corpus' "near"-dups sit at cosine 0.35-0.5; production
+    // near-dup thresholds (≥0.9) use the 8×8 default.
+    "q_embed_dedup_lsh" -> { (s, dir) =>
+      Dedup.embeddingLshPairs(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", tau = 0.35, nPlanes = 4, tables = 8)
+    },
+
+    // SimHash near-dup PAIRS via the multi-index banded equi-join (exact for
+    // hamming ≤ k by pigeonhole; no SQL oracle — simhash not in DuckDB;
+    // ScalaTest checks exactness vs brute-force hamming).
+    "q_simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", maxHamming = 7)
     },
 
     // language-ID + quality scoring.
@@ -426,6 +467,20 @@ object SparkEntry {
         array_join(Preprocessing.camelSplit(
           concat(lit("docId"), col("doc_id"), lit("FromHTTPSource"), upper(col("source")))), "|")
           .as("parts"))
+    },
+
+    // F10 — JSON functions: serialize the label dim to JSON text, parse it
+    // back with from_json, extract typed fields (the reference's json label
+    // dicts, hdfs_data_process.py:29-30). The JSON string is built with
+    // concat on BOTH engines so each engine's PARSER is what is compared.
+    "q_json_labels" -> { (s, dir) =>
+      val labels = transcripts(s, dir).groupBy(col("conv_id"))
+        .agg(max(when(col("role") === "tool", 1).otherwise(0)).as("label"))
+      val js = labels.select(concat(
+        lit("{\"conv\":\""), col("conv_id"), lit("\",\"label\":"),
+        col("label").cast("string"), lit("}")).as("js"))
+      js.select(graft.sources.JsonSide.parseStruct(col("js"), "conv STRING, label INT").as("p"))
+        .select(col("p.conv").as("conv_id"), col("p.label").as("label"))
     },
 
     // sanity: TPC-H-ish aggregate over lineitem.
@@ -553,6 +608,35 @@ object SparkEntry {
         |SELECT conv_id, turn_idx, next_event,
         |       CASE WHEN t.e IS NULL THEN 1 ELSE 0 END AS is_anomaly
         |FROM h2 LEFT JOIN topk t ON h2.next_event = t.e""".stripMargin),
+
+    "q_time_window_global" -> withP(
+      """, rs AS (
+        |  SELECT event_id, CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS sec
+        |  FROM parsed)
+        |SELECT win_start, event_id, count(*) AS cnt
+        |FROM (
+        |  SELECT event_id, sec,
+        |         (CAST(floor(sec / 300) AS BIGINT) - k) * 300 AS win_start
+        |  FROM rs, range(0, 2) t(k))
+        |WHERE sec >= win_start AND sec < win_start + 600
+        |GROUP BY 1, 2""".stripMargin),
+
+    "q_topk_rank" -> withT(
+      """, scored AS (
+        |  SELECT conv_id, turn_idx,
+        |    list_transform(range(1, 9), i ->
+        |      ascii(substr(md5(conv_id || '-' || CAST(turn_idx AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 1))) AS scores,
+        |    CAST(turn_idx % 8 + 1 AS INT) AS true_label
+        |  FROM transcripts),
+        |r AS (
+        |  SELECT conv_id, turn_idx, true_label,
+        |    CAST(1 + len(list_filter(range(1, 9), i ->
+        |      scores[i] > scores[true_label] OR
+        |      (scores[i] = scores[true_label] AND i < true_label))) AS INT) AS rank
+        |  FROM scored)
+        |SELECT conv_id, turn_idx, true_label, rank,
+        |       CASE WHEN rank > 3 THEN 1 ELSE 0 END AS is_anomaly
+        |FROM r""".stripMargin),
 
     "q_leadtime" -> withT(
       """SELECT conv_id,
@@ -812,7 +896,7 @@ object SparkEntry {
       """SELECT doc_id,
         |  CASE ascii(substr(md5(text), 1, 1)) % 3 WHEN 0 THEN 'image'
         |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  CAST(length(text) AS INT) AS byte_len,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
         |  CAST((ascii(substr(md5(text), 1, 1)) * 256 + ascii(substr(md5(text), 2, 1))) % 1920 AS INT) AS width,
         |  CAST((ascii(substr(md5(text), 3, 1)) * 256 + ascii(substr(md5(text), 4, 1))) % 1080 AS INT) AS height,
         |  CAST((ascii(substr(md5(text), 5, 1)) * 256 + ascii(substr(md5(text), 6, 1))) * 10 AS INT) AS duration_ms,
@@ -837,6 +921,17 @@ object SparkEntry {
         |                     '([a-z0-9])([A-Z])', '\1 \2', 'g'),
         |      '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'), '\s+'), '|') AS parts
         |FROM documents""".stripMargin,
+
+    "q_json_labels" -> withT(
+      """, labels AS (
+        |  SELECT conv_id, max(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS label
+        |  FROM transcripts GROUP BY conv_id),
+        |js AS (
+        |  SELECT '{"conv":"' || conv_id || '","label":' || CAST(label AS VARCHAR) || '}' AS js
+        |  FROM labels)
+        |SELECT json_extract_string(js, '$.conv') AS conv_id,
+        |       CAST(json_extract(js, '$.label') AS INT) AS label
+        |FROM js""".stripMargin),
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

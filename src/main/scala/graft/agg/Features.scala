@@ -54,10 +54,20 @@ object Features {
   /** G5/J5 — vocab build: events ranked by frequency desc then name asc into
     * contiguous 1-based ids (logdeep/dataset/vocab.py:21-29 with the pinned
     * deterministic ordering of bert_pytorch/dataset/vocab.py:52-58).
+    *
+    * Ranking goes through [[graft.util.Rank.globalRowNumber]] — a
+    * partition-less `row_number().over(orderBy)` would coalesce the ranking
+    * into one task, a scale-killer once the vocabulary is word-sized
+    * (10⁷-10⁸ distinct keys). The (key, freq) input is post-aggregation, so
+    * it is persisted between the two rank passes.
     */
-  def vocab(df: DataFrame, eventCol: String = "event_id"): DataFrame =
-    df.groupBy(col(eventCol)).agg(count(lit(1)).as("freq"))
-      .withColumn("vocab_id", row_number().over(W.orderBy(col("freq").desc, col(eventCol).asc)))
+  def vocab(df: DataFrame, eventCol: String = "event_id"): DataFrame = {
+    val counted = df.groupBy(col(eventCol)).agg(count(lit(1)).as("freq"))
+    graft.util.Rank.globalRowNumber(
+        counted, Seq(col("freq").desc, col(eventCol).asc), "vocab_id",
+        persistSorted = true)
+      ._1.withColumn("vocab_id", col("vocab_id").cast("int"))
+  }
 
   /** G12 — distinct-sequence multiplicities split by label
     * (logdeep/tools/predict.py:26-52): groupBy(seq, label).count.
@@ -149,5 +159,27 @@ object Features {
     history.join(broadcast(topK), history(eventCol) === topK("e"), "left")
       .withColumn("is_anomaly", when(col("e").isNull, 1).otherwise(0))
       .drop("e")
+  }
+
+  /** O3, true per-row semantics — top-k over a per-row SCORE ARRAY
+    * (logdeep/tools/predict.py:99-111: `argsort(output)[:k]`, anomaly iff the
+    * true label is not among the k best, rank recorded).
+    *
+    * `scoresCol`: array of candidate scores (1-based candidate index =
+    * array position); `labelCol`: the true candidate's 1-based index.
+    * rank(label) = 1 + #candidates strictly better, where "better" is
+    * (score desc, index asc) — the pinned tie-break. Pure column
+    * expressions over the row's own array: embarrassingly parallel, no
+    * shuffle, no UDF.
+    */
+  def topKRank(df: DataFrame, scoresCol: String, labelCol: String,
+               k: Int): DataFrame = {
+    val s   = col(scoresCol)
+    val lbl = col(labelCol)
+    val sLbl = element_at(s, lbl)
+    val better = size(filter(sequence(lit(1), size(s)), i =>
+      element_at(s, i) > sLbl || (element_at(s, i) === sLbl && i < lbl)))
+    df.withColumn("rank", (better + 1).cast("int"))
+      .withColumn("is_anomaly", when(col("rank") > k, 1).otherwise(0))
   }
 }

@@ -24,10 +24,15 @@ object Preprocessing {
     val counted = df.groupBy(col(wordCol).as("word"))
       .agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minFreq)
-      .withColumn("vocab_id",
-        row_number().over(W.orderBy(col("freq").desc, col("word").asc)) + specials.size)
-    val limited = maxSize.map(m => counted.filter(col("vocab_id") <= m + specials.size))
-      .getOrElse(counted)
+    // distributed two-phase rank — a word vocab has 10⁷-10⁸ distinct keys at
+    // corpus scale, far too many for a single-partition orderBy window
+    val ranked = graft.util.Rank.globalRowNumber(
+        counted, Seq(col("freq").desc, col("word").asc), "__rank",
+        persistSorted = true)
+      ._1.withColumn("vocab_id", (col("__rank") + specials.size).cast("int"))
+      .drop("__rank")
+    val limited = maxSize.map(m => ranked.filter(col("vocab_id") <= m + specials.size))
+      .getOrElse(ranked)
     val specialRows = specials.zipWithIndex
       .map { case (s, i) => (s, 0L, i + 1) }
       .toDF("word", "freq", "vocab_id")

@@ -70,9 +70,21 @@ object Similarity {
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int, nLists: Int = 16, nProbe: Int = 4,
-              iters: Int = 3, seed: Long = 42L): DataFrame = {
+              iters: Int = 3, seed: Long = 42L,
+              quantizerSampleRows: Long = 100000L): DataFrame = {
     val spark = df.sparkSession
     val base  = withNorm(df, idCol, vecCol).cache()
+
+    // Train the coarse quantizer on a BOUNDED sample: each k-means iteration
+    // posexplodes dim × rows of its input — on the full corpus that shuffle
+    // dominates the whole job, and a quantizer needs only a representative
+    // sample anyway (round-1 verdict). Below the bound the sample IS the
+    // corpus, so small-scale results (and the recall tests) are unchanged.
+    val nBase = base.count()
+    val trainSet =
+      if (nBase <= quantizerSampleRows) base
+      else base.sample(withReplacement = false,
+        quantizerSampleRows.toDouble / nBase, seed).cache()
 
     def nearestCentroid(cents: Array[(Int, Array[Double])]) = {
       val bc = graft.util.Bc(spark.sparkContext.broadcast(cents))
@@ -87,15 +99,15 @@ object Similarity {
       }
     }
 
-    // deterministic init: the nLists vectors with smallest hash(id, seed)
-    var centroids: Array[(Int, Array[Double])] = base
+    // deterministic init: the nLists sampled vectors with smallest hash(id, seed)
+    var centroids: Array[(Int, Array[Double])] = trainSet
       .withColumn("__h", xxhash64(col("id"), lit(seed)))
       .orderBy(col("__h")).limit(nLists)
       .select(col("v")).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
 
     (1 to iters).foreach { _ =>
-      val assigned = base.withColumn("cluster", nearestCentroid(centroids)(col("v")))
+      val assigned = trainSet.withColumn("cluster", nearestCentroid(centroids)(col("v")))
       val next = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cluster", "dim").agg(avg(col("x")).as("m"))

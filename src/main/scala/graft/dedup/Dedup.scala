@@ -30,10 +30,14 @@ object Dedup {
     * ...)` so it is computed once per row — naively referencing the `split`
     * subtree inside the per-position lambda re-evaluates it for every
     * shingle position (measured: 7.3 s → 0.5 s on 5k docs).
+    *
+    * `trim` before the split matches the DuckDB oracle's
+    * `regexp_split_to_array(trim(text), ...)` — without it, leading
+    * whitespace yields an empty first token and a phantom shingle.
     */
   def shingles(textCol: Column, n: Int): Column =
     element_at(
-      transform(array(split(textCol, "\\s+")), toks =>
+      transform(array(split(trim(textCol), "\\s+")), toks =>
         array_distinct(
           filter(
             transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
@@ -41,23 +45,44 @@ object Dedup {
             x => x.isNotNull))),
       1)
 
-  /** Exact n-gram Jaccard near-dup pairs: explode shingles, equi-join on
-    * shingle, |A∩B| via count, |A∪B| = |A|+|B|-|A∩B|; keep pairs ≥ `tau`
-    * with id_a < id_b. Exact but O(pairs sharing a shingle) — the baseline
-    * the LSH path approximates.
+  /** Exact n-gram Jaccard near-dup pairs: candidate pairs share at least one
+    * (sufficiently rare) shingle via an equi-join on the shingle key, then
+    * the candidate's FULL shingle sets are intersected exactly — so
+    * `common`/`jaccard` stay exact even when the candidate join is pruned.
+    *
+    * `maxShingleDf`: hot-shingle guard. A stop-shingle shared by 10⁶ docs
+    * makes the self-join produce 10¹² candidate rows; dropping shingles whose
+    * document frequency exceeds the cap bounds the per-key fan-out at
+    * df·(df-1)/2 ≤ cap². Recall-safe for near-dup detection: a pair at
+    * Jaccard ≥ tau shares ≥ tau/(1+tau)·|A∪B| shingles, and hot shingles are
+    * by definition non-discriminative — true near-dups still meet on their
+    * rare shingles. `None` (default) keeps the exact-baseline semantics the
+    * DuckDB oracle checks.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, tau: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+                        n: Int, tau: Double,
+                        maxShingleDf: Option[Long] = None): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sh = docs.select(col("id"), explode(col("sh")).as("s"))
+    val joinable = maxShingleDf match {
+      case Some(cap) =>
+        // hot set is tiny by definition (few shingles exceed the cap) → broadcast anti-join
+        val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap).select(col("s"))
+        sh.join(broadcast(hot), Seq("s"), "left_anti")
+      case None => sh
+    }
+    val cand = joinable.as("a")
+      .join(joinable.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
-        round(col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")), 4))
+        round(col("common").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("common")), 4))
       .filter(col("jaccard") >= tau)
       .select("id_a", "id_b", "common", "jaccard")
   }
@@ -153,9 +178,58 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** Embedding-cosine near-dup pairs, brute force (baseline): all pairs with
-    * rounded cosine ≥ `tau`. The scale path buckets by LSH sign bits first
-    * (see [[graft.ann.Similarity.hyperplaneBuckets]]).
+  /** SimHash near-dup pairs at scale: the standard multi-index (pigeonhole)
+    * formulation. The 64-bit fingerprint is split into `maxHamming + 1`
+    * contiguous blocks; two fingerprints within hamming distance `maxHamming`
+    * differ in at most `maxHamming` blocks, so they agree EXACTLY on at least
+    * one block — candidates are an equi-join on (block_idx, block_bits), the
+    * verification is `hamming64 ≤ maxHamming`. EXACT (complete by the
+    * pigeonhole argument), never all-pairs.
+    *
+    * `maxBucketSize` guards degenerate blocks (e.g. block 0b0000… shared by
+    * every short doc) exactly like [[minhashLshPairs]]'s cap — note this one
+    * trades away the completeness guarantee for pairs whose ONLY agreeing
+    * block is saturated; pass `Int.MaxValue` when exactness is required.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64)
+    val blocks    = maxHamming + 1
+    val blockBits = 64 / blocks // last block also carries the 64 % blocks remainder
+    val fp = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
+    val banded = fp.select(col("id"), col("fp"),
+      posexplode(array((0 until blocks).map { b =>
+        val lo   = b * blockBits
+        val bits = if (b == blocks - 1) 64 - lo else blockBits
+        val mask = if (bits >= 64) -1L else (1L << bits) - 1L
+        shiftrightunsigned(col("fp"), lo).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("block_idx", "block_bits")))
+    val pruned =
+      if (maxBucketSize == Int.MaxValue) banded
+      else {
+        val keep = banded.groupBy(col("block_idx"), col("block_bits"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") > 1 && col("__bsz") <= maxBucketSize)
+          .select("block_idx", "block_bits")
+        banded.join(keep, Seq("block_idx", "block_bits"))
+      }
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.block_idx") === col("b.block_idx") &&
+          col("a.block_bits") === col("b.block_bits") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming64(col("fp_a"), col("fp_b")).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Embedding-cosine near-dup pairs, brute force. SMALL-CORPUS ORACLE ONLY:
+    * the self-join on `id_a < id_b` plans as a nested-loop cross product —
+    * it exists to ground-truth [[embeddingLshPairs]] (the scale path) in
+    * tests and the DuckDB-checkable q_embed_dedup baseline, never to run at
+    * corpus scale.
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                            tau: Double): DataFrame = {
@@ -169,5 +243,49 @@ object Dedup {
       .withColumn("cosine", round(col("dot") / (col("a.norm") * col("b.norm")), 4))
       .filter(col("cosine") >= tau)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+
+  /** Embedding-cosine near-dup pairs at scale — the default path: hyperplane
+    * sign-LSH buckets ([[graft.ann.Similarity.hyperplaneBuckets]], `tables`
+    * independent seeds, OR-construction), candidates from an equi-join on
+    * (table, bucket), exact cosine re-rank. The only shuffles are the bucket
+    * hash exchanges; there is NO nested-loop join anywhere in the plan
+    * (PlanSpec asserts this). Reported cosines are exact; recall < 1 by LSH
+    * construction — tested against [[embeddingCosinePairs]] on planted
+    * near-dups.
+    *
+    * Parameter guidance: recall per pair ≈ 1-(1-(1-θ/π)^nPlanes)^tables.
+    * For true near-dups (cosine ≥ 0.9) the default 8 planes × 8 tables gives
+    * ~0.95+; for looser thresholds lower `nPlanes` / raise `tables`.
+    * `maxBucketSize` caps degenerate-bucket fan-out as in [[minhashLshPairs]].
+    */
+  def embeddingLshPairs(df: DataFrame, idCol: String, vecCol: String,
+                        tau: Double, nPlanes: Int = 8, tables: Int = 8,
+                        seed: Long = 42L, maxBucketSize: Int = 2000): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val bucketed = v.select(col("id"), col("v"), col("norm"),
+      posexplode(array((0 until tables).map(t =>
+        graft.ann.Similarity.hyperplaneBuckets(col("v"), nPlanes, seed + t * 7919L)): _*))
+        .as(Seq("table", "bucket")))
+    val keep = bucketed.groupBy(col("table"), col("bucket"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > 1 && col("__bsz") <= maxBucketSize)
+      .select("table", "bucket")
+    val pruned = bucketed.join(keep, Seq("table", "bucket"))
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"),
+        col("a.norm").as("na"), col("b.norm").as("nb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", round(
+        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x) /
+          (col("na") * col("nb")), 4))
+      .filter(col("cosine") >= tau)
+      .select("id_a", "id_b", "cosine")
   }
 }

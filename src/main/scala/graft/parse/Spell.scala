@@ -190,6 +190,14 @@ object Spell {
 
   /** Spell tokenization (Spell.py:234-238): split on the punctuation set
     * minus `<*>`'s characters, drop empties.
+    *
+    * PINNED DEVIATION (like Drain's parameter-regex note): the reference
+    * splits ONLY on punctuation, so its tokens can contain interior spaces
+    * (an artifact of re.split with no \s in the class); we additionally
+    * split on whitespace, which is the behavior every downstream consumer
+    * (token-count matching, LCS length) actually assumes. Do not "fix" this
+    * back to reference parity without re-deriving the oracle convergence
+    * argument in CLAUDE.md.
     */
   private val punctPattern =
     java.util.regex.Pattern.compile("""[!"#$%&'()+,\-./:;=?@\[\\\]^_`{|}~]""")

@@ -101,14 +101,16 @@ object Pipeline {
     })
 
     // -- stage 3: route (the one fan-out materialization) --------------------
+    val enrichedPlan = Enrich.convLabels(parsedDf, labels, broadcastDim = broadcastLabels)
     val routes =
       if (Router.isComplete(s"$workDir/route"))
         Router.readMetrics(s"$workDir/route")
       else
-        timed("route")(Router.fanOut(
-          Enrich.convLabels(parsedDf, labels, broadcastDim = broadcastLabels),
-          "event_id", s"$workDir/route"))
-    val enriched = spark.read.parquet(s"$workDir/route/data")
+        timed("route")(Router.fanOut(enrichedPlan, "event_id", s"$workDir/route"))
+    // explicit schema: event_id is a PARTITION column of the routed layout;
+    // without a declared schema, digit-only hex ids would be inferred as
+    // integers (losing leading zeros) by partition-column type inference
+    val enriched = spark.read.schema(enrichedPlan.schema).parquet(s"$workDir/route/data")
 
     // -- stage 4: aggregate ---------------------------------------------------
     val (_, nWindows) = timed("windows")(Router.stageWithCount(spark, s"$workDir/windows") {

@@ -36,7 +36,14 @@ object Router {
     val spark = df.sparkSession
     val inputFiles = df.inputFiles.sorted
     // train-side dedup only (dataset/data_process.py:163-176)
-    val routed = if (train && dedupCols.nonEmpty) df.dropDuplicates(dedupCols) else df
+    val deduped = if (train && dedupCols.nonEmpty) df.dropDuplicates(dedupCols) else df
+    // Co-locate each route's rows BEFORE the partitionBy write. Without this
+    // every task writes one file per route value it happens to see — at
+    // 10⁵ tasks × 10³ routes that is 10⁸ files. REBALANCE (AQE) hashes on
+    // the route key, then splits skewed (hot-route) partitions and coalesces
+    // small ones: a cold route lands in exactly one file, a hot route in as
+    // many as its bytes require — never one-per-task.
+    val routed = deduped.hint("rebalance", col(routeKey))
 
     routed.write
       .mode(SaveMode.Overwrite)
@@ -44,9 +51,15 @@ object Router {
       .partitionBy(routeKey)
       .parquet(s"$outDir/data")
 
-    // per-sink counts + file counts from the written data (lineage: counts
-    // reflect what actually landed, not what was planned)
-    val written = spark.read.parquet(s"$outDir/data")
+    // Per-sink counts + file counts from the written data (lineage: counts
+    // reflect what actually LANDED, not what was planned). This is NOT a
+    // second data scan: the aggregate needs only the partition column (from
+    // directory names) and row counts (from parquet footers), so the scan's
+    // required schema is struct<> — zero data pages read (RouterSpec asserts
+    // the pruned ReadSchema). The explicit schema also pins the partition
+    // column's type: digit-only route values (possible for hex event ids)
+    // would otherwise be INFERRED as integers, losing leading zeros.
+    val written = spark.read.schema(deduped.schema).parquet(s"$outDir/data")
     val stats = written
       .withColumn("__file", input_file_name())
       .groupBy(col(routeKey))

@@ -35,18 +35,21 @@ object Streaming {
       .select(col("window.start").as("win_start"), col("event_id"), col("cnt"))
 
   /** S8/S9 under streaming: per-micro-batch router fan-out via
-    * `foreachBatch` — each batch lands `partitionBy(routeKey)` in append
-    * mode with a per-batch metrics sidecar, so routed-row accounting stays
-    * exact across the stream (idempotent per batch id: a replayed batch
-    * overwrites its own sidecar).
+    * `foreachBatch`. Each batch writes to its OWN batch-scoped partition
+    * directory (`data/batch=<id>`) in overwrite mode, so a replayed
+    * micro-batch (failure/restart re-delivery) REPLACES its previous output
+    * instead of appending duplicates — data and the per-batch metrics
+    * sidecar stay idempotent together, which is what keeps the routed-row
+    * accounting exact across recoveries. Readers of `$outDir/data` see
+    * `batch` as an extra partition column.
     */
   def routedSink(df: DataFrame, routeKey: String, outDir: String):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       batch.write
-        .mode("append")
+        .mode("overwrite")
         .partitionBy(routeKey)
-        .parquet(s"$outDir/data")
+        .parquet(s"$outDir/data/batch=$batchId")
       val counts = batch.groupBy(col(routeKey)).agg(count(lit(1)).as("rows"))
         .collect()
         .map(r => s"""{"route":"${r.get(0)}","rows":${r.getLong(1)}}""")

@@ -125,6 +125,31 @@ object Windows {
         expr("transform(__s, x -> x.e)").as("events"), col("n"))
   }
 
+  /** W2(b) — GLOBAL time sliding windows: the whole-log variant with no
+    * session key (loglizer/dataloader.py:193-247's hour windows over BGL-style
+    * corpora that have no conversation/block id). The time bucket itself is
+    * the shuffle key — `win_start` alone partitions the aggregate, so the
+    * plan is one hash exchange on the bucket, the same shape as the
+    * per-conversation form.
+    *
+    * Output is the per-window COUNT-VECTOR form (win_start, event, cnt) —
+    * collecting a whole global window's event list would buffer an unbounded
+    * row set per window; the count-matrix is what the reference builds from
+    * these windows anyway (dataloader.py:237-247).
+    */
+  def timeWindowsGlobal(df: DataFrame, sizeSec: Long, stepSec: Long,
+                        eventCol: String = "event_id"): DataFrame = {
+    require(sizeSec > 0 && stepSec > 0)
+    val nCover = ((sizeSec + stepSec - 1) / stepSec).toInt
+    val tsSec  = (tsMicros / 1000000L).cast("long")
+    df.withColumn("__sec", tsSec)
+      .withColumn("__k", explode(sequence(lit(0), lit(nCover - 1))))
+      .withColumn("win_start", (floor(col("__sec") / stepSec) - col("__k")) * stepSec)
+      .filter(col("__sec") >= col("win_start") && col("__sec") < col("win_start") + sizeSec)
+      .groupBy(col("win_start"), col(eventCol))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** W3 — history sliding window over the event sequence (model-input shape,
     * logdeep/dataset/sample.py:117-151): for each position, the trailing
     * `h`-event window plus the next event as label. Pure window-frame ops —
@@ -161,58 +186,47 @@ object Windows {
     */
   def anchorSessions(df: DataFrame, gapSec: Long): DataFrame = {
     import df.sparkSession.implicits._
+    // secondary sort: repartition on conv_id, sort (conv_id, turn_idx) inside
+    // each partition, then a STREAMING scan with group-boundary detection —
+    // O(1) state per task, so a pathological million-turn conversation never
+    // buffers in memory (the round-1 `groupByKey.flatMapGroups` form did
+    // `it.toArray` per conversation)
     val slim = df.select(col("conv_id"), col("turn_idx"), tsMicros.as("us"))
+      .repartition(col("conv_id"))
+      .sortWithinPartitions(col("conv_id"), col("turn_idx"))
       .as[(String, Int, Long)]
-    slim.groupByKey(_._1)
-      .flatMapGroups { (conv, it) =>
-        val rows = it.toArray.sortBy(_._2)
-        var anchor  = Long.MinValue
-        var session = -1
-        rows.iterator.map { case (_, idx, us) =>
-          if (anchor == Long.MinValue || us >= anchor + gapSec * 1000000L) {
-            anchor = us; session += 1
-          }
-          (conv, idx, session)
+    slim.mapPartitions { it =>
+      var cur: String = null
+      var anchor      = Long.MinValue
+      var session     = -1
+      it.map { case (conv, idx, us) =>
+        if (conv != cur) { cur = conv; anchor = Long.MinValue; session = -1 }
+        if (anchor == Long.MinValue || us >= anchor + gapSec * 1000000L) {
+          anchor = us; session += 1
         }
+        (conv, idx, session)
       }
-      .toDF("conv_id", "turn_idx", "session_idx")
+    }.toDF("conv_id", "turn_idx", "session_idx")
   }
 
   /** O9 — positional train/test split over the stable global order
     * (dataset/data_process.py:99): rank rows by (conv_id, turn_idx) and cut
     * at fraction `trainFrac`.
     *
-    * A `row_number() over (orderBy ...)` window would coalesce everything
-    * into ONE partition — the classic global-sort trap (SURVEY.md §7.3.3).
-    * Scalable form: range-partition + sort within partitions (a distributed
-    * sort), collect only the tiny per-partition row counts, and assign the
-    * global index as partition-offset + local position.
+    * Uses [[graft.util.Rank.globalRowNumber]] (the two-phase distributed
+    * rank; see its Scaladoc for why, and for the determinism argument).
+    * `persistSorted = false`: this runs over the FULL table — caching 10^12
+    * rows between the count pass and the assign pass is impossible, and the
+    * sorted form recomputes deterministically, so the split pays one extra
+    * scan instead of a full-table materialization.
     */
   def positionalSplit(df: DataFrame, trainFrac: Double): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = df
-      .repartitionByRange(col("conv_id"), col("turn_idx"))
-      .sortWithinPartitions(col("conv_id"), col("turn_idx"))
-      .cache()
-    // per-partition counts: one Long per partition — always tiny
-    val counts = sorted.toDF().rdd
-      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
-      .collect().sortBy(_._1).map(_._2)
-    val total = counts.sum
-    val cut   = math.floor(total * trainFrac).toLong
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val bc = spark.sparkContext.broadcast(offsets)
-
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema :+ org.apache.spark.sql.types.StructField(
-        "split", org.apache.spark.sql.types.StringType, nullable = false))
-    val rows = sorted.toDF().rdd.mapPartitionsWithIndex { (i, it) =>
-      var idx = bc.value(i)
-      it.map { r =>
-        idx += 1
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (if (idx <= cut) "train" else "test"))
-      }
-    }
-    spark.createDataFrame(rows, schema)
+    val (ranked, total) = graft.util.Rank.globalRowNumber(
+      df, Seq(col("conv_id").asc, col("turn_idx").asc), "__rn",
+      persistSorted = false)
+    val cut = math.floor(total * trainFrac).toLong
+    ranked
+      .withColumn("split", when(col("__rn") <= cut, "train").otherwise("test"))
+      .drop("__rn")
   }
 }

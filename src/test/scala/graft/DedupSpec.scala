@@ -74,6 +74,62 @@ class DedupSpec extends AnyFunSuite {
     (0 until 20).foreach(i => assert(pairs.contains((i.toLong, i + 100L))))
   }
 
+  test("embedding LSH pairs: planted near-dups found, precision 1 vs brute force, exact cosines") {
+    val rng = new scala.util.Random(9)
+    def vec() = Array.fill(16)(rng.nextFloat() * 2 - 1)
+    val base = (0 until 20).map(i => (i.toLong, vec()))
+    val rows = base ++ base.map { case (i, v) =>
+      (i + 100, v.map(x => x + 0.01f * rng.nextFloat()))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingCosinePairs(df, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val lsh = Dedup.embeddingLshPairs(df, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // precision 1: every LSH pair is a true pair, with the EXACT cosine
+    lsh.foreach { case (pair, c) =>
+      assert(brute.contains(pair), s"false positive $pair")
+      assert(brute(pair) === c, s"cosine mismatch for $pair")
+    }
+    // all planted near-dups (cos ≈ 1) recalled
+    (0 until 20).foreach(i =>
+      assert(lsh.contains((i.toLong, i + 100L)), s"planted near-dup $i missed"))
+    assert(lsh.size.toDouble / brute.size >= 0.9, s"recall ${lsh.size}/${brute.size}")
+  }
+
+  test("simhash banded pairs: EXACTLY the brute-force hamming<=k pair set") {
+    val k  = 10
+    val fps = corpus.select(col("doc_id"), Dedup.simhash64(col("text")).as("fp"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      hd = java.lang.Long.bitCount(fa ^ fb) if hd <= k
+    } yield (ia, ib, hd)).toSet
+    val banded = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = k)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(brute.nonEmpty, "corpus has no near-dup fingerprints — test is vacuous")
+    assert(banded === brute) // complete by pigeonhole, no cap
+  }
+
+  test("ngram Jaccard with hot-shingle cap: jaccard stays exact, exact-dup pairs survive") {
+    val uncapped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.7)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val capped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.7,
+        maxShingleDf = Some(10))
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // capping prunes CANDIDATES only; any surviving pair's jaccard is exact
+    capped.foreach { case (pair, j) =>
+      assert(uncapped.contains(pair) && uncapped(pair) === j)
+    }
+    // exact duplicates share every shingle → always meet on a sub-cap one
+    val identical = uncapped.keySet.filter { case (a, b) => b == a + 1 && a % 3 == 0 }
+    assert(identical.nonEmpty && identical.subsetOf(capped.keySet))
+  }
+
   test("ANN LSH: planted nearest neighbors always found; decent recall on random tail") {
     val rng = new scala.util.Random(13)
     def vec() = Array.fill(32)(rng.nextFloat() * 2 - 1)

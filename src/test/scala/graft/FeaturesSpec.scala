@@ -79,6 +79,17 @@ class FeaturesSpec extends AnyFunSuite {
     assert(r.filter(col("is_anomaly") === 1).select("next_event").as[String].head() === "z")
   }
 
+  test("topKRank: per-row score-array rank with (score desc, index asc) tie-break") {
+    // scores [5,3,5,1]: index 1 ranks 1 (ties broken by index), index 3 ranks 2,
+    // index 2 ranks 3, index 4 ranks 4 (predict.py:99-111 semantics)
+    val df = Seq(1, 2, 3, 4).toDF("true_label")
+      .withColumn("scores", typedLit(Seq(5, 3, 5, 1)))
+    val out = graft.agg.Features.topKRank(df, "scores", "true_label", k = 2)
+      .select("true_label", "rank", "is_anomaly")
+      .as[(Int, Int, Int)].collect().toSet
+    assert(out === Set((1, 1, 0), (3, 2, 0), (2, 3, 1), (4, 4, 1)))
+  }
+
   test("template/meta/embedding enrich joins (J2/J3/role-tool) defaults and row counts") {
     val rows = Seq(("e1", "user", "search"), ("e2", "tool", null))
       .toDF("event_id", "role", "tool")

@@ -84,6 +84,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join crept in:\n$plan")
   }
 
+  test("embedding LSH dedup plans equi-joins only: no nested-loop, no cartesian") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val plan = finalPlan(graft.dedup.Dedup.embeddingLshPairs(
+      emb, "vec_id", "embedding", tau = 0.35, nPlanes = 4, tables = 4))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("simhash banded pairing plans equi-joins only: no nested-loop, no cartesian") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = finalPlan(graft.dedup.Dedup.simhashPairs(docs, "doc_id", "text", 7))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("vocab rank is distributed: multi-partition output, matches single-node ranking") {
+    // 1000 distinct keys with distinct frequencies — the round-1 form ranked
+    // them through a partition-less window (ONE task); the two-phase rank
+    // must spread the ranked output across range partitions
+    val rows = (1 to 1000).flatMap(i => Seq.fill(i % 7 + 1)(f"k$i%04d"))
+    val df = rows.toDF("event_id").repartition(8)
+    val v = Features.vocab(df)
+    assert(v.rdd.getNumPartitions > 1, "vocab ranking coalesced to one partition")
+    val got = v.select("event_id", "vocab_id").as[(String, Int)].collect().toMap
+    val expected = rows.groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (k, f) => (-f, k) }.zipWithIndex
+      .map { case ((k, _), i) => k -> (i + 1) }.toMap
+    assert(got === expected)
+  }
+
   test("count vectors keep whole-stage codegen (no UDF in the aggregate path)") {
     val parsed = Seq(("c1", "e1"), ("c1", "e2")).toDF("conv_id", "event_id")
     val plan = finalPlan(Features.countVectors(parsed, Seq("conv_id")))

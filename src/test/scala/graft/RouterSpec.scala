@@ -46,6 +46,34 @@ class RouterSpec extends AnyFunSuite {
     assert("\"files\":".r.findAllIn(lineage).size === 500)
   }
 
+  test("fanOut co-locates routes: one file per route, not one per task per route") {
+    // 8 input partitions × 4 routes would be up to 32 files without the
+    // pre-write rebalance; with it each route lands in exactly one task
+    val df = (0 until 800).map(i => (s"r${i % 4}", i)).toDF("route", "v").repartition(8)
+    val dir = tmp()
+    Router.fanOut(df, "route", dir)
+    (0 until 4).foreach { r =>
+      val files = new java.io.File(s"$dir/data/route=r$r")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files === 1, s"route r$r fanned out to $files files")
+    }
+  }
+
+  test("fanOut counts: metadata-only read-back, digit-only routes stay strings") {
+    val df = (0 until 90).map(i => (f"00${i % 3}%d", i)).toDF("route", "v")
+    val dir = tmp()
+    val metrics = Router.fanOut(df, "route", dir)
+    // leading zeros survive: partition values are NOT inferred as integers
+    assert(metrics.map(_.route).sorted === Seq("000", "001", "002"))
+    // the per-sink count aggregate needs zero data columns — partition
+    // values come from directory names, row counts from parquet footers
+    val written = spark.read.schema(df.schema).parquet(s"$dir/data")
+    val counts = written.groupBy(col("route")).count()
+    counts.collect()
+    val scan = counts.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("ReadSchema: struct<>"), s"counts scan reads data pages:\n$scan")
+  }
+
   test("stage: checkpoint-resume skips completed stages, outputs identical") {
     val dir = tmp()
     var computed = 0

@@ -97,6 +97,37 @@ class WindowsSpec extends AnyFunSuite {
     assert(got === Seq(0, 0, 0, 1, 1, 2))
   }
 
+  test("timeWindowsGlobal: whole-log windows (no session key) match brute force") {
+    val df = turns(Map("a" -> 10, "b" -> 7)) // two conversations, same clock
+    val w = Windows.timeWindowsGlobal(df, sizeSec = 4, stepSec = 2)
+      .select("win_start", "event_id", "cnt").as[(Long, String, Long)]
+      .collect().toSet
+    // brute force over ALL rows regardless of conv_id
+    val raw = df.select((unix_micros(col("ts")) / 1000000L).cast("long"), col("event_id"))
+      .as[(Long, String)].collect()
+    val expected = raw.flatMap { case (sec, e) =>
+      (0 until 2).map(k => ((sec / 2 - k) * 2, e, sec))
+    }.filter { case (ws, _, sec) => sec >= ws && sec < ws + 4 }
+      .groupBy { case (ws, e, _) => (ws, e) }
+      .map { case ((ws, e), hits) => (ws, e, hits.length.toLong) }.toSet
+    assert(w === expected)
+    // rows from BOTH conversations share windows (the global semantics)
+    val t0 = 1700000000L
+    assert(w.collect { case (ws, "e0", c) if ws == t0 => c }.head ===
+      raw.count { case (sec, e) => e == "e0" && sec >= t0 && sec < t0 + 4 })
+  }
+
+  test("anchorSessions streams a million-turn conversation (O(1) state, no per-group buffering)") {
+    val df = spark.range(1000000).select(
+      lit("mono").as("conv_id"),
+      col("id").cast("int").as("turn_idx"),
+      col("id").cast("timestamp").as("ts")) // 1 turn per second
+    val out = Windows.anchorSessions(df, gapSec = 1000)
+    // anchor advances every 1000 turns → session_idx = turn_idx / 1000
+    assert(out.filter(col("session_idx") =!= floor(col("turn_idx") / 1000)).count() === 0L)
+    assert(out.count() === 1000000L)
+  }
+
   test("chunkBySize assigns floor(pos/n) chunk ids") {
     val c = Windows.chunkBySize(turns(Map("a" -> 7)), 3)
       .orderBy("turn_idx").select("chunk_id").as[Long].collect().toSeq
