@@ -267,6 +267,37 @@ object SparkEntry {
       p.select("conv_id", "turn_idx", "event_id", "event_template")
     },
 
+    // T3 (Spell variant) — parameter extraction with punctuation-stripped
+    // params (Spell.py:328-338). On this corpus every parameter slot is a
+    // digit run, so the oracle is the same digit extraction as Drain's.
+    "q_spell_params" -> { (s, dir) =>
+      val (p, _) = graft.parse.Spell.parse(transcripts(s, dir), "text", tau = 0.5)
+      graft.parse.Spell.extractParameters(p, "text", "event_template")
+        .select(col("conv_id"), col("turn_idx"),
+          array_join(col("parameters"), "|").as("params"))
+    },
+
+    // P5 — normal-only train filter.
+    "q_normal_only" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+        .withColumn("label", when(col("role") === "tool", 1).otherwise(0))
+      Features.normalOnly(t).select("conv_id", "turn_idx", "label")
+    },
+
+    // P6 — min-length session filter (sessions with ≥ 60 events).
+    "q_min_length" -> { (s, dir) =>
+      Windows.minLength(Windows.sessionGroup(parsed(s, dir)), 60)
+        .select(col("conv_id"), size(col("events")).as("n_events"))
+    },
+
+    // O7 — seeded deterministic shuffle (rows-only: xxhash64 not in DuckDB;
+    // permutation/determinism properties are ScalaTest-verified).
+    "q_seeded_shuffle" -> { (s, dir) =>
+      Preprocessing.seededShuffle(
+        transcripts(s, dir).select("conv_id", "turn_idx"),
+        Seq("conv_id", "turn_idx"))
+    },
+
     // G6 — word vocab with min_freq + special tokens.
     "q_word_vocab" -> { (s, dir) =>
       val words = s.read.parquet(s"$dir/documents.parquet")
@@ -722,6 +753,19 @@ object SparkEntry {
 
     "q_spell_structured" -> withP(
       """SELECT conv_id, turn_idx, event_id, event_template FROM parsed""".stripMargin),
+
+    "q_spell_params" -> withT(
+      """SELECT conv_id, turn_idx,
+        |       array_to_string(regexp_extract_all(text, '[0-9]+'), '|') AS params
+        |FROM transcripts""".stripMargin),
+
+    "q_normal_only" -> withT(
+      """SELECT conv_id, turn_idx, CASE WHEN role = 'tool' THEN 1 ELSE 0 END AS label
+        |FROM transcripts WHERE role <> 'tool'""".stripMargin),
+
+    "q_min_length" -> withP(
+      """SELECT conv_id, CAST(count(*) AS INT) AS n_events
+        |FROM parsed GROUP BY conv_id HAVING count(*) >= 60""".stripMargin),
 
     "q_word_vocab" ->
       """WITH w AS (

@@ -131,6 +131,13 @@ object Features {
       .agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** P5 — normal-only filter: keep rows/sessions with label 0, the train-side
+    * selection of every unsupervised model in the reference
+    * (logdeep/dataset/session.py:50-55 keeps `Label == 0` sessions).
+    */
+  def normalOnly(df: DataFrame, labelCol: String = "label"): DataFrame =
+    df.filter(col(labelCol) === 0)
+
   /** P8 — anomaly-rate counter (dataset/data_process.py:18-26). */
   def anomalyRate(df: DataFrame, labelCol: String): DataFrame =
     df.agg(count(lit(1)).as("n"),

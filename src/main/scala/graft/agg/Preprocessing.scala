@@ -98,6 +98,19 @@ object Preprocessing {
           .otherwise(lit(0.0)))
   }
 
+  /** O7 — seeded deterministic shuffle: a stable pseudo-random total order
+    * `shuffle_pos` from xxhash64(keys, seed) — the pinned-seed replacement
+    * for the reference's unseeded `random.shuffle` batch ordering
+    * (SURVEY.md §7.3.2). Distributed: the hash rank goes through the
+    * two-phase [[graft.util.Rank.globalRowNumber]], never a single-partition
+    * sort; key columns break hash ties so the order is total.
+    */
+  def seededShuffle(df: DataFrame, keyCols: Seq[String], seed: Long = 88L): DataFrame =
+    graft.util.Rank.globalRowNumber(
+        df.withColumn("__h", xxhash64((keyCols.map(col) :+ lit(seed)): _*)),
+        col("__h").asc +: keyCols.map(col(_).asc), "shuffle_pos")
+      ._1.drop("__h")
+
   /** O8 — seeded random down-sample (logdeep/dataset/sample.py:27-40; the
     * reference's unseeded variant is pinned to a seed, SURVEY.md §7.3.2).
     */

@@ -207,6 +207,63 @@ object Spell {
     punctPattern.split(Drain.scrub(text, scrub)).iterator
       .flatMap(s => wsPattern.split(s.trim)).filter(_.nonEmpty).toVector
 
+  /** T3, Spell variant — parameter extraction (Spell.py:328-338). Differs
+    * from the Drain variant ([[Drain.parameterPattern]]) in three pinned
+    * reference behaviors:
+    *  (a) whitespace-SURROUNDED short tags are collapsed WITH their spaces
+    *      (`\s<.{1,5}>\s → <*>`, Spell.py:329 — a tag at string start/end
+    *      keeps its literal form but still becomes a capture group later);
+    *  (b) each escaped space matches ANY non-alphanumeric run
+    *      (`[^A-Za-z0-9]+`, Spell.py:333 — per space CHAR, not per run:
+    *      the reference's `\\ +` pattern sees `\ \ \ `, one escaped space
+    *      at a time);
+    *  (c) captured parameters are stripped of leading/trailing punctuation
+    *      and spaces (Spell.py:337).
+    */
+  def parameterPattern(template: String): java.util.regex.Pattern = {
+    val normalized = template.replaceAll("\\s<.{1,5}>\\s", "<*>")
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < normalized.length) {
+      if (normalized.startsWith("<*>", i)) { sb.append("(.*?)"); i += 3 }
+      else if (normalized.charAt(i) == ' ') { sb.append("[^A-Za-z0-9]+"); i += 1 }
+      else { sb.append(java.util.regex.Pattern.quote(normalized.charAt(i).toString)); i += 1 }
+    }
+    sb.append("$")
+    java.util.regex.Pattern.compile(sb.toString)
+  }
+
+  private val punctuation = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+
+  private def stripEnds(s: String, chars: String): String = {
+    var a = 0; var b = s.length
+    while (a < b && chars.indexOf(s.charAt(a)) >= 0) a += 1
+    while (b > a && chars.indexOf(s.charAt(b - 1)) >= 0) b -= 1
+    s.substring(a, b)
+  }
+
+  private val paramPatternCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+
+  /** Column of Spell-extracted parameters: `parameters: array<string>`. */
+  def extractParameters(df: DataFrame, textCol: String, templateCol: String): DataFrame = {
+    val extractUdf = udf { (text: String, template: String) =>
+      if (text == null || template == null) Seq.empty[String]
+      else {
+        val normalized = template.replaceAll("\\s<.{1,5}>\\s", "<*>")
+        if (!normalized.contains("<*>")) Seq.empty[String] // Spell.py:330
+        else {
+          val p = paramPatternCache.computeIfAbsent(template, parameterPattern(_))
+          val m = p.matcher(text)
+          if (!m.matches()) Seq.empty[String]
+          else (1 to m.groupCount())
+            .map(g => stripEnds(stripEnds(m.group(g), punctuation), " "))
+        }
+      }
+    }
+    df.withColumn("parameters", extractUdf(col(textCol), col(templateCol)))
+  }
+
   /** Phase (a): per-partition Spell trees + deterministic driver merge. */
   def mine(df: DataFrame, textCol: String, tau: Double,
            scrub: Seq[String] = Nil): Vector[TemplateEntry] = {

@@ -209,6 +209,12 @@ object Windows {
     }.toDF("conv_id", "turn_idx", "session_idx")
   }
 
+  /** P6 — min-length filter: drop sessions/windows shorter than `n` events
+    * (PLELog/data/DataLoader.py:254-256 skips too-short sequences).
+    */
+  def minLength(grouped: DataFrame, n: Int, seqCol: String = "events"): DataFrame =
+    grouped.filter(size(col(seqCol)) >= n)
+
   /** O9 — positional train/test split over the stable global order
     * (dataset/data_process.py:99): rank rows by (conv_id, turn_idx) and cut
     * at fraction `trainFrac`.

@@ -99,6 +99,26 @@ class PreprocessingSpec extends AnyFunSuite {
     assert(byLabel(1) < 220)
   }
 
+  test("seededShuffle: exact permutation, deterministic, seed-sensitive, distributed") {
+    val df = (0 until 500).map(i => (s"c${i % 7}", i)).toDF("conv_id", "turn_idx")
+      .repartition(6)
+    def run(seed: Long) = Preprocessing.seededShuffle(df, Seq("conv_id", "turn_idx"), seed)
+    val a = run(88L)
+    val rows = a.orderBy("shuffle_pos").select("conv_id", "turn_idx")
+      .as[(String, Int)].collect()
+    // exact permutation: every row once, positions 1..n once
+    assert(rows.toSet === (0 until 500).map(i => (s"c${i % 7}", i)).toSet)
+    assert(a.select("shuffle_pos").as[Long].collect().sorted === (1L to 500L).toArray)
+    // not the input order, deterministic across runs, different per seed
+    assert(rows.map(_._2).take(20) !== (0 until 20).toArray)
+    assert(run(88L).orderBy("shuffle_pos").select("turn_idx").as[Int].collect()
+      === rows.map(_._2))
+    assert(run(99L).orderBy("shuffle_pos").select("turn_idx").as[Int].collect()
+      !== rows.map(_._2))
+    // (distribution of the two-phase rank itself is asserted in PlanSpec's
+    // vocab test; on 500 rows AQE rightly coalesces the range partitions)
+  }
+
   test("zeroMean / sigmoidNonzero formulas") {
     val cv = Seq(("g1", "a", 2L), ("g2", "a", 4L)).toDF("conv_id", "event_id", "cnt")
     val zm = Preprocessing.zeroMean(cv).select("cnt_centered").as[Double].collect().sorted

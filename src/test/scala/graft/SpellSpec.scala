@@ -55,4 +55,28 @@ class SpellSpec extends AnyFunSuite {
     assert(dict.map(e => e.event_id -> e.occurrences).toMap ===
       drainDict.map(e => e.event_id -> e.occurrences).toMap)
   }
+
+  test("Spell parameter extraction: non-alnum runs, punctuation strip, no-slot templates (Spell.py:328-338)") {
+    import spark.implicits._
+    val df = Seq(
+      // surrounded tag normalized (spaces eaten), trailing tag kept; params
+      // stripped of trailing punctuation
+      ("send 123 to user 456.", "send <*> to user <*>"),
+      // tag at string START (no leading \s → not normalized, still a group)
+      ("worker7 done", "<*> done"),
+      // template space matches ANY non-alphanumeric run in the text
+      ("link--x 9", "link x <*>"),
+      // no parameter slot → empty (Spell.py:330)
+      ("no params here", "no params here"),
+      // non-matching text → empty
+      ("totally different", "send <*> to user <*>")
+    ).toDF("text", "event_template")
+    val out = Spell.extractParameters(df, "text", "event_template")
+      .select("parameters").as[Seq[String]].collect()
+    assert(out(0) === Seq("123", "456"))
+    assert(out(1) === Seq("worker7"))
+    assert(out(2) === Seq("9"))
+    assert(out(3) === Seq.empty)
+    assert(out(4) === Seq.empty)
+  }
 }
