@@ -429,12 +429,13 @@ object SparkEntry {
     // embedding-cosine near-dup pairs at scale: hyperplane-LSH bucketed
     // equi-join + exact re-rank (the DEFAULT path; approximate recall, so no
     // SQL oracle — ScalaTest checks recall vs the brute-force baseline and
-    // PlanSpec asserts no nested-loop join). 4 planes × 8 tables because the
-    // synthetic corpus' "near"-dups sit at cosine 0.35-0.5; production
-    // near-dup thresholds (≥0.9) use the 8×8 default.
+    // PlanSpec asserts no nested-loop join). 6 planes × 8 tables because the
+    // synthetic corpus' "near"-dups sit at cosine 0.35-0.5 — far below the
+    // near-dup regime LSH is selective in; production thresholds (≥0.9) use
+    // the 8×8 default with ~0.95+ recall.
     "q_embed_dedup_lsh" -> { (s, dir) =>
       Dedup.embeddingLshPairs(s.read.parquet(s"$dir/embeddings.parquet"),
-        "vec_id", "embedding", tau = 0.35, nPlanes = 4, tables = 8)
+        "vec_id", "embedding", tau = 0.35, nPlanes = 6, tables = 8)
     },
 
     // SimHash near-dup PAIRS via the multi-index banded equi-join (exact for

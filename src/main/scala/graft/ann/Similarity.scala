@@ -39,27 +39,42 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplane component: plane `p`, dim `d` →
-    * a value in [-1, 1) derived from xxhash64 — stable across sessions,
-    * codegen'd, no driver-side RNG state to ship.
+  /** Deterministic pseudo-random hyperplane matrix (nPlanes × dim), values
+    * in [-1, 1) from a splitmix64-style mix of (seed, plane, dim) — computed
+    * ONCE driver-side and embedded as array literals. The per-row bucket work
+    * is then pure multiply-adds; the previous formulation evaluated a hash
+    * EXPRESSION per (plane × element × row) inside nested higher-order
+    * functions, which dominated the whole LSH-dedup query (measured ~4× the
+    * verify join at sf0.1).
     */
-  private def planeComponent(p: Int, d: Column, seed: Long): Column =
-    (xxhash64(lit(seed), lit(p), d).cast("double") / lit(Long.MaxValue.toDouble))
+  private[graft] def planeMatrix(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      var z = seed + p * 0x9E3779B97F4A7C15L + d * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      z.toDouble / Long.MaxValue.toDouble
+    }
 
   /** LSH sign-bucket id: `nPlanes` sign bits of projections onto the seeded
     * hyperplanes, packed into a long. Vectors in the same bucket are
-    * near-duplicate candidates.
+    * near-duplicate candidates. `dim` fixes the hyperplane matrix at plan
+    * time (callers detect it from the first row — vectors are fixed-width).
     */
-  def hyperplaneBuckets(vec: Column, nPlanes: Int, seed: Long = 42L): Column = {
+  def hyperplaneBuckets(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    val m = planeMatrix(nPlanes, dim, seed)
     val bits = (0 until nPlanes).map { p =>
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i, seed)),
+        zip_with(vec, typedlit(m(p).toSeq), (x, w) => x.cast("double") * w),
         lit(0.0), (a, x) => a + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a + b)
   }
+
+  /** Fixed vector width of `vecCol`, read from the first row (one tiny job). */
+  private[graft] def detectDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol)).as("d")).head().getInt(0)
 
   /** IVF (inverted-file) ANN — the second scale path: a deterministic
     * k-means-lite coarse quantizer (seeded hash-ranked init, fixed
@@ -157,9 +172,10 @@ object Similarity {
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int, nPlanes: Int = 12,
               tables: Int = 6, seed: Long = 42L): DataFrame = {
+    val dim = detectDim(df, vecCol)
     val base = withNorm(df, idCol, vecCol)
       .withColumn("buckets", array((0 until tables).map(t =>
-        hyperplaneBuckets(col("v"), nPlanes, seed + t * 7919L)): _*))
+        hyperplaneBuckets(col("v"), nPlanes, dim, seed + t * 7919L)): _*))
     val exploded = base.select(col("id"), col("v"), col("norm"),
       posexplode(col("buckets")).as(Seq("table", "bucket")))
     val q2 = exploded.filter(col("id").isInCollection(queryIds))

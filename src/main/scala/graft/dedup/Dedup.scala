@@ -113,18 +113,23 @@ object Dedup {
                       maxBucketSize: Int = 500): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val withSig = df
+    val docs = df
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // signatures only feed the bucket side — the verify side re-derives the
+    // cheap shingle arrays, never the 24-hash signatures
+    val withSig = docs.withColumn("sig", minhashSignature(col("sh"), numHashes))
 
+    // bucket rows are NARROW (id, band, bucket) — the shingle arrays must not
+    // ride through the bucket join / candidate dedup shuffles (measured: the
+    // wide form shuffles each doc's full shingle set once per band)
     val buckets = withSig.select(
-        col("id"), col("sh"),
+        col("id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
         }: _*)).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band"), col("bb.bucket"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
 
     val keep = buckets.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__bsz"))
@@ -137,11 +142,13 @@ object Dedup {
       .join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    // exact verify: attach each side's shingle set AFTER the id-only dedup
     cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", round(col("common").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("common")), 4))
@@ -265,9 +272,14 @@ object Dedup {
     val v = df.select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
-    val bucketed = v.select(col("id"), col("v"), col("norm"),
+    // bucket rows are NARROW (id, table, bucket): shuffling the vectors
+    // through the bucket join + candidate dedup costs |candidates|·2·dim
+    // doubles (measured 2× the whole query); vectors join back by id AFTER
+    // the id-only dedup instead
+    val dim = graft.ann.Similarity.detectDim(df, vecCol)
+    val bucketed = v.select(col("id"),
       posexplode(array((0 until tables).map(t =>
-        graft.ann.Similarity.hyperplaneBuckets(col("v"), nPlanes, seed + t * 7919L)): _*))
+        graft.ann.Similarity.hyperplaneBuckets(col("v"), nPlanes, dim, seed + t * 7919L)): _*))
         .as(Seq("table", "bucket")))
     val keep = bucketed.groupBy(col("table"), col("bucket"))
       .agg(count(lit(1)).as("__bsz"))
@@ -278,10 +290,10 @@ object Dedup {
       .join(pruned.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"),
-        col("a.norm").as("na"), col("b.norm").as("nb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(v.select(col("id").as("id_a"), col("v").as("va"), col("norm").as("na")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("norm").as("nb")), "id_b")
       .withColumn("cosine", round(
         aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x) /
           (col("na") * col("nb")), 4))
