@@ -50,6 +50,7 @@ object ScalingBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.expr.GraftExtensions")
       .config("spark.local.dir", localDir)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

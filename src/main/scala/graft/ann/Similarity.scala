@@ -17,10 +17,10 @@ object Similarity {
   private def withNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("norm", graft.expr.VectorFunctions.norm(col("v")))
 
   def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
-    aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0), (a, x) => a + x) / (na * nb)
+    graft.expr.VectorFunctions.dot(va, vb) / (na * nb)
 
   /** Exact brute-force cosine top-k: for each query vector (ids in
     * `queryIds`), the k nearest corpus vectors (self excluded), ranked by
@@ -64,9 +64,7 @@ object Similarity {
   def hyperplaneBuckets(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
     val m = planeMatrix(nPlanes, dim, seed)
     val bits = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, typedlit(m(p).toSeq), (x, w) => x.cast("double") * w),
-        lit(0.0), (a, x) => a + x)
+      val proj = graft.expr.VectorFunctions.dot(vec, typedlit(m(p).toSeq))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a + b)

@@ -242,11 +242,9 @@ object Dedup {
                            tau: Double): DataFrame = {
     val v = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
-    val withNorm = v.withColumn("norm",
-      sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val withNorm = v.withColumn("norm", graft.expr.VectorFunctions.norm(col("v")))
     withNorm.as("a").join(withNorm.as("b"), col("a.id") < col("b.id"))
-      .withColumn("dot",
-        aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+      .withColumn("dot", graft.expr.VectorFunctions.dot(col("a.v"), col("b.v")))
       .withColumn("cosine", round(col("dot") / (col("a.norm") * col("b.norm")), 4))
       .filter(col("cosine") >= tau)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
@@ -271,7 +269,7 @@ object Dedup {
                         seed: Long = 42L, maxBucketSize: Int = 2000): DataFrame = {
     val v = df.select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("norm", graft.expr.VectorFunctions.norm(col("v")))
     // bucket rows are NARROW (id, table, bucket): shuffling the vectors
     // through the bucket join + candidate dedup costs |candidates|·2·dim
     // doubles (measured 2× the whole query); vectors join back by id AFTER
@@ -295,8 +293,7 @@ object Dedup {
       .join(v.select(col("id").as("id_a"), col("v").as("va"), col("norm").as("na")), "id_a")
       .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("norm").as("nb")), "id_b")
       .withColumn("cosine", round(
-        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x) /
-          (col("na") * col("nb")), 4))
+        graft.expr.VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cosine") >= tau)
       .select("id_a", "id_b", "cosine")
   }

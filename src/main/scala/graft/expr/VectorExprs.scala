@@ -1,0 +1,157 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions.{aggregate, call_function, lit, sqrt, zip_with}
+
+/** Native Catalyst expressions for the embedding hot path (SURVEY.md §2.11
+  * tier (b): a codegen'd `Expression` beats a Scala UDF beats interpreted
+  * higher-order functions). `zip_with`+`aggregate` formulations allocate a
+  * lambda-variable array per row and evaluate interpreted; these generate a
+  * tight primitive loop inside whole-stage codegen.
+  *
+  * Registered through the PUBLIC `SparkSessionExtensions` hook
+  * ([[GraftExtensions]], `spark.sql.extensions=graft.expr.GraftExtensions`);
+  * callers go through [[VectorFunctions]], which falls back to the
+  * higher-order-function formulation when the extension is not installed —
+  * results are bit-identical (same left-to-right double summation).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  // (return type inferred: AbstractDataType is private[sql])
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm of an array<double> — sqrt of the self-dot, one pass. */
+case class L2Norm(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_norm"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      if (!x.isNullAt(i)) { val v = x.getDouble(i); s += v * v }
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    double $v = $a.getDouble($i);
+         |    $s += $v * $v;
+         |  }
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): L2Norm =
+    copy(child = newChild)
+}
+
+/** Session extension registering the vector expressions:
+  * `.config("spark.sql.extensions", "graft.expr.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_norm"),
+      new ExpressionInfo(classOf[L2Norm].getName, "graft_norm"),
+      (children: Seq[Expression]) => L2Norm(children.head)))
+  }
+}
+
+/** Column API over the expressions, with a semantics-identical
+  * higher-order-function fallback for sessions without the extension
+  * (detected once per session via the public catalog API).
+  */
+object VectorFunctions {
+
+  /** Plan-construction-time catalog lookup (in-memory registry — cheap). */
+  def available(spark: SparkSession): Boolean =
+    spark.catalog.functionExists("graft_dot")
+
+  /** Σ a·b (doubles, left-to-right — same summation order as the fallback). */
+  def dot(spark: SparkSession, a: Column, b: Column): Column =
+    if (available(spark)) call_function("graft_dot", a, b)
+    else aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(spark: SparkSession, v: Column): Column =
+    if (available(spark)) call_function("graft_norm", v)
+    else sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Overloads resolving the session from the active-session thread local;
+    * a session-less caller gets the fallback formulation.
+    */
+  def dot(a: Column, b: Column): Column =
+    SparkSession.getActiveSession match {
+      case Some(s) => dot(s, a, b)
+      case None =>
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    }
+
+  def norm(v: Column): Column =
+    SparkSession.getActiveSession match {
+      case Some(s) => norm(s, v)
+      case None => sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    }
+}

@@ -102,11 +102,18 @@ object Pipeline {
 
     // -- stage 3: route (the one fan-out materialization) --------------------
     val enrichedPlan = Enrich.convLabels(parsedDf, labels, broadcastDim = broadcastLabels)
+    // colocate (rebalance by event_id) only when the dictionary is large
+    // relative to the write parallelism — with a handful of templates the
+    // rebalance would serialize the write into ~templates partitions and add
+    // a full-table shuffle; the sortWithinPartitions layout writes ≤templates
+    // files per task fully in parallel instead (see Router.fanOut scaladoc)
+    val writeTasks = spark.sparkContext.defaultParallelism
     val routes =
       if (Router.isComplete(s"$workDir/route"))
         Router.readMetrics(s"$workDir/route")
       else
-        timed("route")(Router.fanOut(enrichedPlan, "event_id", s"$workDir/route"))
+        timed("route")(Router.fanOut(enrichedPlan, "event_id", s"$workDir/route",
+          colocate = templates > writeTasks * 4))
     // explicit schema: event_id is a PARTITION column of the routed layout;
     // without a declared schema, digit-only hex ids would be inferred as
     // integers (losing leading zeros) by partition-column type inference

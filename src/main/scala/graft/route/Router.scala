@@ -31,19 +31,35 @@ object Router {
     * snapshot produced each routed partition (the parquet-level stand-in for
     * Iceberg snapshot ids — no Iceberg runtime ships in this sandbox).
     */
+  /** @param colocate controls the pre-write layout — the file-count /
+    *        parallelism trade-off depends on route-key CARDINALITY:
+    *        - `true` (HIGH-cardinality routes, routes ≳ write tasks): REBALANCE
+    *          (AQE) on the route key. Without it every task writes one file per
+    *          route it sees — 10⁵ tasks × 10³ routes = 10⁸ files. Rebalance
+    *          gives a cold route exactly one file and splits hot routes by
+    *          size (AQE skew split); with many distinct keys the hash spreads
+    *          over all tasks, so parallelism is preserved.
+    *        - `false` (LOW-cardinality routes, routes ≪ tasks, e.g. a 5-template
+    *          corpus): rebalancing by the key would collapse the write into
+    *          ~routes fat partitions AND add a full-table shuffle to the
+    *          biggest stage. Instead keep the input partitioning and sort
+    *          within partitions by the route key — files per task are bounded
+    *          by the routes that task holds (≤ cardinality, written
+    *          sequentially with one open file at a time), and every task
+    *          writes in parallel with NO extra exchange.
+    *        Callers that know the cardinality up front (Pipeline knows the
+    *        template-dictionary size before routing) pass it explicitly.
+    */
   def fanOut(df: DataFrame, routeKey: String, outDir: String,
-             train: Boolean = false, dedupCols: Seq[String] = Nil): Seq[SinkMetrics] = {
+             train: Boolean = false, dedupCols: Seq[String] = Nil,
+             colocate: Boolean = true): Seq[SinkMetrics] = {
     val spark = df.sparkSession
     val inputFiles = df.inputFiles.sorted
     // train-side dedup only (dataset/data_process.py:163-176)
     val deduped = if (train && dedupCols.nonEmpty) df.dropDuplicates(dedupCols) else df
-    // Co-locate each route's rows BEFORE the partitionBy write. Without this
-    // every task writes one file per route value it happens to see — at
-    // 10⁵ tasks × 10³ routes that is 10⁸ files. REBALANCE (AQE) hashes on
-    // the route key, then splits skewed (hot-route) partitions and coalesces
-    // small ones: a cold route lands in exactly one file, a hot route in as
-    // many as its bytes require — never one-per-task.
-    val routed = deduped.hint("rebalance", col(routeKey))
+    val routed =
+      if (colocate) deduped.hint("rebalance", col(routeKey))
+      else deduped.sortWithinPartitions(col(routeKey))
 
     routed.write
       .mode(SaveMode.Overwrite)

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.expr.VectorFunctions
+
+/** Native Catalyst vector expressions (graft_dot / graft_norm) registered via
+  * SparkSessionExtensions — value-exactness vs the higher-order-function
+  * fallback, SQL-surface registration, codegen participation.
+  */
+class ExprSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("registered via SparkSessionExtensions and callable from SQL") {
+    assert(spark.catalog.functionExists("graft_dot"))
+    assert(spark.catalog.functionExists("graft_norm"))
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, -5.0D, 6.0D)) AS d, " +
+        "graft_norm(array(3.0D, 4.0D)) AS n").as[(Double, Double)].head()
+    assert(r === ((12.0, 5.0)))
+  }
+
+  test("expression values == higher-order-function fallback on null-free vectors (incl. float input)") {
+    val rng = new scala.util.Random(7)
+    val df = (0 until 50).map(_ =>
+        (Array.fill(16)(rng.nextFloat() * 2 - 1), Array.fill(16)(rng.nextFloat() * 2 - 1)))
+      .toDF("a", "b")
+    def hofDot = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val viaExpr = df.select(VectorFunctions.dot(spark, col("a"), col("b"))).as[Double].collect()
+    val viaHof  = df.select(hofDot).as[Double].collect()
+    assert(viaExpr === viaHof) // bit-identical: same left-to-right summation
+    val nExpr = df.select(VectorFunctions.norm(spark, col("a"))).as[Double].collect()
+    val nHof  = df.select(sqrt(aggregate(transform(col("a"), _.cast("double")),
+      lit(0.0), (acc, x) => acc + x * x))).as[Double].collect()
+    assert(nExpr === nHof)
+  }
+
+  test("null elements are skipped by the expression (pinned; vectors are null-free by contract)") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D, CAST(NULL AS DOUBLE), 3.0D), array(2.0D, 2.0D, 2.0D)) AS d")
+      .as[Double].head()
+    assert(r === 8.0)
+  }
+
+  test("dot runs inside whole-stage codegen") {
+    val df = spark.range(1000)
+      .select(array((0 until 8).map(i => (col("id") * i).cast("double")): _*).as("v"))
+    val q = df.select(VectorFunctions.dot(spark, col("v"), col("v")).as("d"))
+    assert(q.agg(sum(col("d"))).as[Double].head() > 0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1)"),
+      s"dot fell out of whole-stage codegen:\n$plan")
+  }
+}

@@ -59,6 +59,20 @@ class RouterSpec extends AnyFunSuite {
     }
   }
 
+  test("fanOut colocate=false (low-cardinality): no rebalance shuffle, bounded files, conservation") {
+    val df = (0 until 800).map(i => (s"r${i % 3}", i)).toDF("route", "v").repartition(6)
+    val dir = tmp()
+    val metrics = Router.fanOut(df, "route", dir, colocate = false)
+    assert(metrics.map(_.rows).sum === 800L)
+    assert(metrics.map(_.route).sorted === Seq("r0", "r1", "r2"))
+    (0 until 3).foreach { r =>
+      val files = new java.io.File(s"$dir/data/route=r$r")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      // bounded by the 6 input tasks — parallel write, no per-task explosion
+      assert(files >= 1 && files <= 6, s"route r$r written as $files files")
+    }
+  }
+
   test("fanOut counts: metadata-only read-back, digit-only routes stay strings") {
     val df = (0 until 90).map(i => (f"00${i % 3}%d", i)).toDF("route", "v")
     val dir = tmp()
