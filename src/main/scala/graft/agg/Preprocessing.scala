@@ -111,6 +111,16 @@ object Preprocessing {
         col("__h").asc +: keyCols.map(col(_).asc), "shuffle_pos")
       ._1.drop("__h")
 
+  /** O5 — sort sequences by length desc (bert_pytorch/dataset/sample.py:104-115):
+    * a BATCHING optimization in the reference (pack similar-length sequences
+    * together), not a semantic requirement (SURVEY §2.7). The scale-sane
+    * expression is partition-LOCAL ordering — a global orderBy would pay a
+    * full-table range exchange for a property that only needs to hold within
+    * a batch.
+    */
+  def sortByLengthDesc(grouped: DataFrame, seqCol: String = "events"): DataFrame =
+    grouped.sortWithinPartitions(size(col(seqCol)).desc)
+
   /** O8 — seeded random down-sample (logdeep/dataset/sample.py:27-40; the
     * reference's unseeded variant is pinned to a seed, SURVEY.md §7.3.2).
     */

@@ -46,19 +46,28 @@ object Streaming {
   def routedSink(df: DataFrame, routeKey: String, outDir: String):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      batch.write
-        .mode("overwrite")
-        .partitionBy(routeKey)
-        .parquet(s"$outDir/data/batch=$batchId")
-      val counts = batch.groupBy(col(routeKey)).agg(count(lit(1)).as("rows"))
-        .collect()
-        .map(r => s"""{"route":"${r.get(0)}","rows":${r.getLong(1)}}""")
-        .mkString("[", ",", "]")
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$outDir/_metrics_batch_$batchId.json"), counts)
-      ()
+      writeRoutedBatch(batch, routeKey, outDir, batchId)
     }
+
+  /** One micro-batch of the routed sink — exposed so replay idempotency is
+    * directly testable: calling this twice with the same `batchId` must leave
+    * the same bytes (overwrite of the batch-scoped directory + sidecar).
+    */
+  def writeRoutedBatch(batch: DataFrame, routeKey: String, outDir: String,
+                       batchId: Long): Unit = {
+    batch.write
+      .mode("overwrite")
+      .partitionBy(routeKey)
+      .parquet(s"$outDir/data/batch=$batchId")
+    val counts = batch.groupBy(col(routeKey)).agg(count(lit(1)).as("rows"))
+      .collect()
+      .map(r => s"""{"route":"${r.get(0)}","rows":${r.getLong(1)}}""")
+      .mkString("[", ",", "]")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/_metrics_batch_$batchId.json"), counts)
+    ()
+  }
 
   final case class TurnEvent(conv_id: String, turn_idx: Int, ts_us: Long)
   final case class SessionAssign(conv_id: String, turn_idx: Int, session_idx: Int)

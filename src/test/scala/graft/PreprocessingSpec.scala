@@ -99,6 +99,19 @@ class PreprocessingSpec extends AnyFunSuite {
     assert(byLabel(1) < 220)
   }
 
+  test("sortByLengthDesc: lengths non-increasing within every partition, rows conserved") {
+    val df = (0 until 200).map(i => (s"c$i", Seq.fill(i % 17 + 1)("e")))
+      .toDF("conv_id", "events").repartition(5)
+    val sorted = Preprocessing.sortByLengthDesc(df)
+    assert(sorted.count() === 200L)
+    val perPartitionOk = sorted.select(size(col("events"))).rdd
+      .mapPartitions { it =>
+        val lens = it.map(_.getInt(0)).toSeq
+        Iterator(lens == lens.sortBy(-_))
+      }.collect()
+    assert(perPartitionOk.forall(identity))
+  }
+
   test("seededShuffle: exact permutation, deterministic, seed-sensitive, distributed") {
     val df = (0 until 500).map(i => (s"c${i % 7}", i)).toDF("conv_id", "turn_idx")
       .repartition(6)

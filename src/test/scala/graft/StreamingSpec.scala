@@ -78,6 +78,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(metricRows === total)
   }
 
+  test("routed sink: replaying a micro-batch is idempotent (data + sidecar)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-replay").toString
+    val batch = Seq(("e1", 1), ("e1", 2), ("e2", 3)).toDF("event_id", "v")
+    graft.streaming.Streaming.writeRoutedBatch(batch, "event_id", dir, batchId = 0L)
+    val firstCount = spark.read.parquet(s"$dir/data").count()
+    // failure/restart re-delivery of the SAME batch id must replace, not append
+    graft.streaming.Streaming.writeRoutedBatch(batch, "event_id", dir, batchId = 0L)
+    assert(spark.read.parquet(s"$dir/data").count() === firstCount)
+    // a NEW batch id appends alongside
+    graft.streaming.Streaming.writeRoutedBatch(batch.limit(1), "event_id", dir, batchId = 1L)
+    assert(spark.read.parquet(s"$dir/data").count() === firstCount + 1)
+    val m0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_metrics_batch_0.json")))
+    assert("""\"rows\":(\d+)""".r.findAllMatchIn(m0).map(_.group(1).toLong).sum === 3L)
+  }
+
   test("streaming anchor sessionization == batch anchorSessions") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     val t = Transcripts.synthetic(spark, 50, seed = 7L, partitions = 2)
