@@ -33,13 +33,13 @@ import graft.route.Router
   *                template count goes through the salted two-level aggregate
   *                (SURVEY.md §4.2).
   *
-  * Scale design: all joins broadcast; wide exchanges are only the conv_id
-  * hash partition inside the window/aggregate stages and the fan-out write.
-  * No global sort. Full-table materializations: exactly two (parse, route),
-  * both with the slim schema. (A cross-stage `repartition(conv_id)` is
-  * pointless here — partitioning does not survive a parquet round-trip; with
-  * bucketed Iceberg tables it would, and the route write is the place to
-  * bucket.)
+  * Scale design: all joins broadcast; no global sort; full-table
+  * materializations: exactly two (parse, route), both with the slim schema.
+  * The route write is BUCKETED by conv_id (catalog bucket spec — the parquet
+  * stand-in for a bucketed Iceberg table), so the conv_id partitioning
+  * SURVIVES the stage materialization: the window and count-vector stages
+  * aggregate exchange-free (PlanSpec-asserted), and the pipeline's only
+  * full-table exchange is the one inside the route write itself.
   */
 object Pipeline {
 
@@ -74,12 +74,17 @@ object Pipeline {
     *  - `maxSessionTurns`: G3 tail bound applied BEFORE collect_list
     *    (session.py:29-32) so no aggregation buffer scales with the worst
     *    conversation; costs one extra conv_id window sort, so it is opt-in.
+    *  - `convBuckets`: bucket count of the conv_id-bucketed route table
+    *    (0 = the session's default parallelism). Size to the cluster at
+    *    scale; a bucketed write cannot AQE-split a skewed bucket.
     */
   def run(spark: SparkSession, transcripts: DataFrame, workDir: String,
           cfg: DrainConfig = DrainConfig(depth = 4, st = 0.4),
           mineFraction: Double = 1.0,
           broadcastLabels: Boolean = true,
-          maxSessionTurns: Int = Int.MaxValue): Result = {
+          maxSessionTurns: Int = Int.MaxValue,
+          convBuckets: Int = 0,
+          bucketRoute: Boolean = true): Result = {
 
     // -- stage 1: parse (slim event stream + dictionary) --------------------
     val (parsedDf, nTurns) = timed("parse")(Router.stageWithCount(spark, s"$workDir/parse") {
@@ -101,23 +106,33 @@ object Pipeline {
     })
 
     // -- stage 3: route (the one fan-out materialization) --------------------
+    // BUCKETED by conv_id (parquet stand-in for a bucketed Iceberg table):
+    // the route write pays one shuffle on conv_id and every downstream
+    // conv-keyed stage (windows, count vectors, any session aggregate) reads
+    // the catalog bucket spec and aggregates EXCHANGE-FREE — this is the
+    // "the route write is the place to bucket" design from the class doc.
+    // The declared-schema/catalog read also pins event_id (a partition
+    // column) as string — digit-only hex ids would otherwise be inferred
+    // as integers.
     val enrichedPlan = Enrich.convLabels(parsedDf, labels, broadcastDim = broadcastLabels)
-    // colocate (rebalance by event_id) only when the dictionary is large
-    // relative to the write parallelism — with a handful of templates the
-    // rebalance would serialize the write into ~templates partitions and add
-    // a full-table shuffle; the sortWithinPartitions layout writes ≤templates
-    // files per task fully in parallel instead (see Router.fanOut scaladoc)
+    val buckets = if (convBuckets > 0) convBuckets else spark.sparkContext.defaultParallelism
+    val routeTable = "graft_route_" + graft.parse.Drain.md5_8(workDir)
     val writeTasks = spark.sparkContext.defaultParallelism
     val routes =
-      if (Router.isComplete(s"$workDir/route"))
+      if (Router.isComplete(s"$workDir/route")) {
+        if (bucketRoute)
+          Router.ensureBucketedTable(spark, routeTable, enrichedPlan.schema,
+            "event_id", "conv_id", buckets, s"$workDir/route")
         Router.readMetrics(s"$workDir/route")
+      } else if (bucketRoute)
+        timed("route")(Router.fanOutBucketed(enrichedPlan, "event_id", "conv_id",
+          buckets, s"$workDir/route", routeTable))
       else
         timed("route")(Router.fanOut(enrichedPlan, "event_id", s"$workDir/route",
           colocate = templates > writeTasks * 4))
-    // explicit schema: event_id is a PARTITION column of the routed layout;
-    // without a declared schema, digit-only hex ids would be inferred as
-    // integers (losing leading zeros) by partition-column type inference
-    val enriched = spark.read.schema(enrichedPlan.schema).parquet(s"$workDir/route/data")
+    val enriched =
+      if (bucketRoute) spark.table(routeTable)
+      else spark.read.schema(enrichedPlan.schema).parquet(s"$workDir/route/data")
 
     // -- stage 4: aggregate ---------------------------------------------------
     val (_, nWindows) = timed("windows")(Router.stageWithCount(spark, s"$workDir/windows") {

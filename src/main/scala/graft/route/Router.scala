@@ -97,6 +97,70 @@ object Router {
     counts
   }
 
+  /** Bucketed route store — the cross-stage partitioning mechanism the plain
+    * parquet fan-out cannot provide: `partitionBy(routeKey)` directories (the
+    * per-template sinks) + `bucketBy(buckets, bucketKey)` files whose hash
+    * layout is recorded in the session catalog. Paying ONE write-side shuffle
+    * on the bucket key here buys EXCHANGE-FREE aggregation/windowing on that
+    * key for every downstream stage that reads the table (Spark's
+    * HashPartitioning(bucketKey, n) satisfies any clustering whose keys
+    * contain bucketKey). This is the parquet stand-in for a bucketed Iceberg
+    * table; the pre-write `repartition(buckets, bucketKey)` co-locates each
+    * bucket in one task so files = routes × buckets, never × tasks.
+    *
+    * Caveat at scale: a bucketed write cannot AQE-split a skewed bucket —
+    * bound pathological conversations upstream (`Windows.lastNTurns`) and
+    * size `buckets` to the cluster.
+    */
+  def fanOutBucketed(df: DataFrame, routeKey: String, bucketKey: String,
+                     buckets: Int, outDir: String, tableName: String): Seq[SinkMetrics] = {
+    val spark = df.sparkSession
+    val inputFiles = df.inputFiles.sorted
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    df.repartition(buckets, col(bucketKey))
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .option("path", s"$outDir/data")
+      .partitionBy(routeKey)
+      .bucketBy(buckets, bucketKey)
+      .saveAsTable(tableName)
+    // counts from the written files, footer-only (see fanOut)
+    val written = spark.read.schema(df.schema).parquet(s"$outDir/data")
+    val stats = written.groupBy(col(routeKey)).agg(count(lit(1)).as("rows"))
+      .collect()
+      .map(r => (Option(r.get(0)).map(_.toString).getOrElse("null"), r.getLong(1)))
+      .sortBy(_._1)
+    val counts = stats.map(s => SinkMetrics(s._1, s._2)).toSeq
+    writeMetrics(outDir, counts)
+    val inputDigest = graft.parse.Drain.md5_8(inputFiles.mkString("\n"))
+    Files.writeString(Paths.get(s"$outDir/_lineage.json"),
+      stats.map(s => s"""{"route":"${s._1}","rows":${s._2}}""").mkString(
+        s"""{"input_files":${inputFiles.length},"input_digest":"$inputDigest","buckets":$buckets,"sinks":[""",
+        ",", "]}"))
+    counts
+  }
+
+  /** Re-register the bucketed route table after a restart (the bucket spec
+    * lives in the catalog, not in the files — a NEW session resuming a
+    * completed stage must redeclare the identical layout, then recover the
+    * route-key partitions from the directory structure).
+    */
+  def ensureBucketedTable(spark: SparkSession, tableName: String,
+                          schema: org.apache.spark.sql.types.StructType,
+                          routeKey: String, bucketKey: String, buckets: Int,
+                          outDir: String): Unit =
+    if (!spark.catalog.tableExists(tableName)) {
+      val dataCols = schema.fields.filterNot(_.name == routeKey)
+      val ddlSchema = (dataCols :+ schema(routeKey))
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(
+        s"""CREATE TABLE $tableName ($ddlSchema) USING PARQUET
+           |PARTITIONED BY (`$routeKey`)
+           |CLUSTERED BY (`$bucketKey`) INTO $buckets BUCKETS
+           |LOCATION '$outDir/data'""".stripMargin)
+      spark.catalog.recoverPartitions(tableName)
+    }
+
   def writeMetrics(outDir: String, counts: Seq[SinkMetrics]): Unit = {
     val json = counts.map(m => s"""{"route":"${m.route}","rows":${m.rows}}""")
       .mkString("[", ",", "]")

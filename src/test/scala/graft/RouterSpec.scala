@@ -88,6 +88,34 @@ class RouterSpec extends AnyFunSuite {
     assert(scan.contains("ReadSchema: struct<>"), s"counts scan reads data pages:\n$scan")
   }
 
+  test("fanOutBucketed: conservation, exchange-free conv aggregate, restart re-registration") {
+    val df = (0 until 600).map(i => (s"conv${i % 37}", i, s"e${i % 4}"))
+      .toDF("conv_id", "v", "event_id").repartition(7)
+    val dir = tmp()
+    val table = "graft_route_testbkt"
+    val metrics = Router.fanOutBucketed(df, "event_id", "conv_id", 8, dir, table)
+    assert(metrics.map(_.rows).sum === 600L)
+    assert(metrics.map(_.route).sorted === Seq("e0", "e1", "e2", "e3"))
+
+    // the catalog bucket spec makes a conv_id aggregate exchange-free
+    val agg = spark.table(table).groupBy(col("conv_id")).count()
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed read still shuffles:\n$plan")
+
+    // restart: a fresh session has no catalog entry — re-register + recover
+    spark.sql(s"DROP TABLE $table")
+    Router.ensureBucketedTable(spark, table, df.schema, "event_id", "conv_id", 8, dir)
+    val back = spark.table(table)
+    assert(back.count() === 600L)
+    assert(back.schema("event_id").dataType === org.apache.spark.sql.types.StringType)
+    val agg2 = back.groupBy(col("conv_id")).count()
+    agg2.collect()
+    assert(!agg2.queryExecution.executedPlan.toString.contains("Exchange"),
+      "re-registered table lost the bucket spec")
+    spark.sql(s"DROP TABLE $table")
+  }
+
   test("stage: checkpoint-resume skips completed stages, outputs identical") {
     val dir = tmp()
     var computed = 0
