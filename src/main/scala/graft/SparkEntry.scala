@@ -245,6 +245,19 @@ object SparkEntry {
       Features.confusion(t, "pred", "truth")
     },
 
+    // J2 — template-dictionary join: the slim id-only event stream gets its
+    // template text back from the broadcast dict (the "never materialize the
+    // template per row" design relies on exactly this reconstruction).
+    "q_enrich_template" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+      val dict = Drain.mine(t, "text", drainCfg)
+      val slim = Drain.matchEventIds(t, "text", dict, drainCfg)
+        .select("conv_id", "turn_idx", "event_id")
+      Enrich.templates(slim,
+          s.createDataFrame(dict).select("event_id", "event_template"))
+        .select("conv_id", "turn_idx", "event_id", "event_template")
+    },
+
     // J1/J2 — broadcast label enrich: conv label dim joined to turns.
     "q_enrich_labels" -> { (s, dir) =>
       val t = transcripts(s, dir)
@@ -739,6 +752,9 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN tool IS NULL AND role <> 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS tn,
         |  CAST(sum(CASE WHEN tool IS NULL AND role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS fn
         |FROM transcripts""".stripMargin),
+
+    "q_enrich_template" -> withP(
+      """SELECT conv_id, turn_idx, event_id, event_template FROM parsed""".stripMargin),
 
     "q_enrich_labels" -> withT(
       """, labels AS (

@@ -99,6 +99,12 @@ class PreprocessingSpec extends AnyFunSuite {
     assert(byLabel(1) < 220)
   }
 
+  test("Rank.globalRowNumber: empty input → empty output, total 0") {
+    val df = Seq.empty[(String, Int)].toDF("k", "v")
+    val (out, total) = graft.util.Rank.globalRowNumber(df, Seq(col("v").asc), "rn")
+    assert(total === 0L && out.count() === 0L)
+  }
+
   test("sortByLengthDesc: lengths non-increasing within every partition, rows conserved") {
     val df = (0 until 200).map(i => (s"c$i", Seq.fill(i % 17 + 1)("e")))
       .toDF("conv_id", "events").repartition(5)
