@@ -87,14 +87,23 @@ object Dedup {
       .select("id_a", "id_b", "common", "jaccard")
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * min of xxhash64(seed_i, shingle) over the row's shingle set. Pure
-    * column expressions — the per-hash min folds inside codegen.
+  /** MinHash signature. Each shingle STRING is hashed exactly once
+    * (xxhash64); the `numHashes` per-function values re-hash that 64-bit
+    * base with a per-function seed — the one-hash MinHash formulation.
+    * vs hashing the string once per function: the variable-length string
+    * loop runs once, the per-function work is xxhash64 over a single long
+    * (fixed-size fast path). Affine-map mixing would be cheaper still but
+    * overflows under ANSI mode (Spark 4 default).
     */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingleArr, s => xxhash64(lit(i), s)))
-    }: _*)
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column = {
+    // let-bind the base hashes (computed once per row, see shingles)
+    element_at(
+      transform(array(transform(shingleArr, s => xxhash64(s))), base =>
+        array((0 until numHashes).map { i =>
+          array_min(transform(base, h => xxhash64(lit(i), h)))
+        }: _*)),
+      1)
+  }
 
   /** MinHash+LSH candidate pairs: signatures banded into `bands`; rows
     * sharing any (band, band-hash) bucket become candidates; candidates are
