@@ -459,6 +459,14 @@ object SparkEntry {
         "doc_id", "text", maxHamming = 7)
     },
 
+    // dedup groups: connected components over the near-dup pair graph —
+    // group_rep = kept representative per duplicate cluster.
+    "q_dedup_groups" -> { (s, dir) =>
+      val pairs = Dedup.embeddingCosinePairs(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", tau = 0.35)
+      Dedup.connectedComponents(pairs)
+    },
+
     // language-ID + quality scoring.
     "q_lang_quality" -> { (s, dir) =>
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -903,6 +911,23 @@ object SparkEntry {
         |FROM n a, n b
         |WHERE a.vec_id < b.vec_id
         |  AND round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= 0.35""".stripMargin,
+
+    "q_dedup_groups" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM v),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM n a, n b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= 0.35),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(s, m) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.m = e.a)
+        |SELECT s AS id, min(m) AS group_rep FROM reach GROUP BY s""".stripMargin,
 
     "q_lang_quality" ->
       """WITH f AS (

@@ -241,6 +241,51 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Duplicate-cluster representatives: connected components over a near-dup
+    * PAIR list (from [[ngramJaccardPairs]], [[minhashLshPairs]],
+    * [[simhashPairs]] or [[embeddingLshPairs]]) via min-id label
+    * propagation — `group_rep(id)` = smallest id reachable, i.e. the kept
+    * representative; everything else in the group is the dedup drop set.
+    *
+    * Scale shape: each round is one shuffle join (edge × label) + one
+    * aggregate; rounds = graph diameter (near-dup clusters are dense, so
+    * 2-4 rounds in practice; `maxIter` guards pathological chains). Each
+    * round's labels are `localCheckpoint`ed: iterative DataFrames MUST cut
+    * lineage every round or the logical plan nests exponentially (the
+    * un-truncated form OOMs in plan stringification after ~8 rounds).
+    * Superseded label RDDs are released by the ContextCleaner once
+    * unreferenced; on a fault-tolerant cluster run, swap localCheckpoint for
+    * reliable `checkpoint` against the stage store.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("__nlbl"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("__nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val changed = next.join(labels.select(col("id"), col("lbl").as("__old")), "id")
+        .filter(col("lbl") =!= col("__old")).count()
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("lbl").as("group_rep"))
+  }
+
   /** Embedding-cosine near-dup pairs, brute force. SMALL-CORPUS ORACLE ONLY:
     * the self-join on `id_a < id_b` plans as a nested-loop cross product —
     * it exists to ground-truth [[embeddingLshPairs]] (the scale path) in

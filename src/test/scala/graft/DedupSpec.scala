@@ -130,6 +130,19 @@ class DedupSpec extends AnyFunSuite {
     assert(identical.nonEmpty && identical.subsetOf(capped.keySet))
   }
 
+  test("connectedComponents: min-id reps on chains, disjoint components, convergence") {
+    // component A: chain 1-2-3-...-8 (diameter forces several rounds);
+    // component B: triangle 20-21-22; singleton pairs 30-31
+    val pairs = ((1L to 7L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L))).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    (1L to 8L).foreach(i => assert(cc(i) === 1L, s"node $i"))
+    Seq(20L, 21L, 22L).foreach(i => assert(cc(i) === 20L))
+    assert(cc(30L) === 30L && cc(31L) === 30L)
+    assert(cc.size === 13)
+  }
+
   test("ANN LSH: planted nearest neighbors always found; decent recall on random tail") {
     val rng = new scala.util.Random(13)
     def vec() = Array.fill(32)(rng.nextFloat() * 2 - 1)
