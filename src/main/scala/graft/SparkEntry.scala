@@ -460,7 +460,10 @@ object SparkEntry {
     },
 
     // dedup groups: connected components over the near-dup pair graph —
-    // group_rep = kept representative per duplicate cluster.
+    // group_rep = kept representative per duplicate cluster. The PAIR SOURCE
+    // here is the brute-force baseline only because the DuckDB oracle must
+    // compute the identical pair set; at scale the same operator consumes
+    // embeddingLshPairs / minhashLshPairs / simhashPairs output unchanged.
     "q_dedup_groups" -> { (s, dir) =>
       val pairs = Dedup.embeddingCosinePairs(
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", tau = 0.35)

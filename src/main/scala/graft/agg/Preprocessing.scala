@@ -178,6 +178,12 @@ object Preprocessing {
     * similar known event's id when cosine > `minSim`, else unk (0).
     * The known-event matrix is broadcast; the scan over it is a pure
     * function → Scala UDF over the broadcast (SURVEY.md §2.11).
+    *
+    * Scale bound: the O(|known|) scan runs only for OOV rows, and `known` is
+    * an EVENT-TEMPLATE vocabulary (10³-10⁴ entries by construction — Drain
+    * dictionaries, not word vocabs), so the broadcast and the scan stay
+    * small at any corpus size. For a genuinely large fallback dictionary,
+    * bucket it with [[graft.ann.Similarity.hyperplaneBuckets]] first.
     */
   def encodeWithSimilarityFallback(
       df: DataFrame, eventCol: String,
