@@ -470,6 +470,14 @@ object SparkEntry {
       Dedup.connectedComponents(pairs)
     },
 
+    // dedup end-to-end: pairs → groups → keep one representative per group.
+    "q_dedup_keep" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val pairs = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", tau = 0.35)
+      Dedup.keepRepresentatives(emb.select("vec_id"),
+        Dedup.connectedComponents(pairs), "vec_id")
+    },
+
     // language-ID + quality scoring.
     "q_lang_quality" -> { (s, dir) =>
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -931,6 +939,25 @@ object SparkEntry {
         |  UNION
         |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.m = e.a)
         |SELECT s AS id, min(m) AS group_rep FROM reach GROUP BY s""".stripMargin,
+
+    "q_dedup_keep" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM v),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM n a, n b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= 0.35),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(s, m) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.m = e.a),
+        |g AS (SELECT s AS id, min(m) AS rep FROM reach GROUP BY s)
+        |SELECT e.vec_id FROM embeddings e
+        |WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.id = e.vec_id AND g.rep <> g.id)""".stripMargin,
 
     "q_lang_quality" ->
       """WITH f AS (

@@ -286,6 +286,16 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("group_rep"))
   }
 
+  /** Final dedup step: keep one representative per duplicate group — drop
+    * every row whose id carries a `group_rep` other than itself (groups from
+    * [[connectedComponents]]). Rows absent from the pair graph are unique
+    * and kept. Anti-join on the (small) non-representative id set.
+    */
+  def keepRepresentatives(df: DataFrame, groups: DataFrame, idCol: String): DataFrame =
+    df.join(
+      groups.filter(col("id") =!= col("group_rep")).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Embedding-cosine near-dup pairs, brute force. SMALL-CORPUS ORACLE ONLY:
     * the self-join on `id_a < id_b` plans as a nested-loop cross product —
     * it exists to ground-truth [[embeddingLshPairs]] (the scale path) in

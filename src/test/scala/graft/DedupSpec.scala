@@ -143,6 +143,16 @@ class DedupSpec extends AnyFunSuite {
     assert(cc.size === 13)
   }
 
+  test("keepRepresentatives: one survivor per group, uniques untouched") {
+    val pairs  = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val groups = Dedup.connectedComponents(pairs)
+    val docs   = (1L to 12L).toDF("doc_id")
+    val kept = Dedup.keepRepresentatives(docs, groups, "doc_id")
+      .as[Long].collect().toSet
+    // group {1,2,3} → 1; group {10,11} → 10; 4..9, 12 unique → kept
+    assert(kept === Set(1L, 10L) ++ (4L to 9L) + 12L)
+  }
+
   test("ANN LSH: planted nearest neighbors always found; decent recall on random tail") {
     val rng = new scala.util.Random(13)
     def vec() = Array.fill(32)(rng.nextFloat() * 2 - 1)

@@ -90,6 +90,22 @@ class FeaturesSpec extends AnyFunSuite {
     assert(out === Set((1, 1, 0), (3, 2, 0), (2, 3, 1), (4, 4, 1)))
   }
 
+  test("topKRank property: matches brute-force argsort rank on 200 random score arrays") {
+    val rng = new scala.util.Random(31)
+    val cases = (0 until 200).map { _ =>
+      val n = rng.nextInt(12) + 1
+      (Seq.fill(n)(rng.nextInt(6)), rng.nextInt(n) + 1) // small range → ties common
+    }
+    val df = cases.toDF("scores", "true_label")
+    val got = graft.agg.Features.topKRank(df, "scores", "true_label", k = 3)
+      .select("scores", "true_label", "rank").as[(Seq[Int], Int, Int)].collect()
+    got.foreach { case (scores, lbl, rank) =>
+      val order = scores.zipWithIndex
+        .sortBy { case (s, i) => (-s, i) }.map(_._2 + 1) // (score desc, index asc)
+      assert(rank === order.indexOf(lbl) + 1, s"scores=$scores lbl=$lbl")
+    }
+  }
+
   test("template/meta/embedding enrich joins (J2/J3/role-tool) defaults and row counts") {
     val rows = Seq(("e1", "user", "search"), ("e2", "tool", null))
       .toDF("event_id", "role", "tool")
