@@ -69,6 +69,17 @@ object Streaming {
     ()
   }
 
+  /** Streaming exact dedup: the streaming form of [[graft.dedup.Dedup.exact]]'s
+    * digest key — repeated content digests are dropped, with state BOUNDED by
+    * the event-time watermark (`dropDuplicatesWithinWatermark`): a digest
+    * older than the watermark is evicted from state, so memory is
+    * O(distinct digests per watermark window), never O(stream history).
+    */
+  def dedupStream(df: DataFrame, textCol: String, watermark: String): DataFrame =
+    df.withColumn("text_md5", md5(col(textCol)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("text_md5")
+
   final case class TurnEvent(conv_id: String, turn_idx: Int, ts_us: Long)
   final case class SessionAssign(conv_id: String, turn_idx: Int, session_idx: Int)
   final case class AnchorState(anchorUs: Long, sessionIdx: Int)

@@ -78,6 +78,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(metricRows === total)
   }
 
+  test("streaming exact dedup == batch digest dedup (watermark-bounded state)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-dedup").toString
+    val rows = (0 until 300).map { i =>
+      (s"doc body ${i % 60}", new java.sql.Timestamp(1700000000000L + i * 1000L))
+    }
+    rows.toDF("text", "ts").repartition(4).write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema).parquet(s"$dir/in")
+    val q = graft.streaming.Streaming.dedupStream(stream, "text", "10 minutes")
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() === 60L) // one row per distinct text
+    assert(out.select("text_md5").distinct().count() === 60L)
+  }
+
   test("routed sink: replaying a micro-batch is idempotent (data + sidecar)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-replay").toString
