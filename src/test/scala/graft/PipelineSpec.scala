@@ -29,6 +29,16 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline on EMPTY input completes with zero counts (no crash on degenerate data)") {
+    val dir = Files.createTempDirectory("graft-pipe-empty").toString
+    val empty = Transcripts.synthetic(spark, 5, seed = 1L, partitions = 2)
+      .filter(col("conv_id") === "no-such-conv")
+    val res = Pipeline.run(spark, empty, dir)
+    assert(res.turns === 0L)
+    assert(res.routes.map(_.rows).sum === 0L)
+    assert(res.windows === 0L && res.countVectorRows === 0L)
+  }
+
   test("checkpoint resume: restart after killing a late stage is byte-identical") {
     val dir = Files.createTempDirectory("graft-pipe-resume").toString
     val t = Transcripts.synthetic(spark, 300, seed = 43L, partitions = 8)
