@@ -104,6 +104,76 @@ case class L2Norm(child: Expression)
     copy(child = newChild)
 }
 
+/** Count of array elements contained in a LITERAL string set —
+  * `graft_count_in(tokens, array('the','a',...))`. The marker/stopword
+  * counting of language-ID and quality scoring: the `size(filter(toks,
+  * isInCollection(...)))` formulation evaluates an interpreted lambda per
+  * token; this compiles to a generated loop over a precomputed hash set.
+  * Counts OCCURRENCES (duplicates included) — same semantics as the filter
+  * form. The right side must be foldable (it is the marker table).
+  */
+case class CountInSet(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes = Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_count_in"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    val arr = right.eval().asInstanceOf[ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) s.add(arr.getUTF8String(i))
+      i += 1
+    }
+    s
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_count_in requires a literal set as its second argument")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    var c = 0
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("graftCountSet", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |int $c = 0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if (!$a.isNullAt($i) && $setRef.contains($a.getUTF8String($i))) {
+         |    $c++;
+         |  }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountInSet =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session extension registering the vector expressions:
   * `.config("spark.sql.extensions", "graft.expr.GraftExtensions")`.
   */
@@ -117,6 +187,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_norm"),
       new ExpressionInfo(classOf[L2Norm].getName, "graft_norm"),
       (children: Seq[Expression]) => L2Norm(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_count_in"),
+      new ExpressionInfo(classOf[CountInSet].getName, "graft_count_in"),
+      (children: Seq[Expression]) => CountInSet(children(0), children(1))))
   }
 }
 
@@ -154,4 +228,17 @@ object VectorFunctions {
       case Some(s) => norm(s, v)
       case None => sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
     }
+
+  /** Count of `arr` elements in the literal string set `ws` (occurrences,
+    * duplicates included) — codegen'd set-lookup loop, HOF-filter fallback.
+    */
+  def countIn(arr: Column, ws: Seq[String]): Column = {
+    val setLit = org.apache.spark.sql.functions.array(ws.map(lit): _*)
+    SparkSession.getActiveSession match {
+      case Some(s) if available(s) => call_function("graft_count_in", arr, setLit)
+      case _ =>
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.filter(arr, t => t.isInCollection(ws)))
+    }
+  }
 }

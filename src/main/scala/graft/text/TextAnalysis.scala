@@ -34,7 +34,9 @@ object TextAnalysis {
 
   def langScores(text: Column): Seq[(String, Column)] =
     markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
-      lang -> size(filter(tokens(text), t => t.isInCollection(ws)))
+      // codegen'd set-membership count (graft_count_in) when the extension is
+      // installed — the filter-HOF form runs an interpreted lambda per token
+      lang -> graft.expr.VectorFunctions.countIn(tokens(text), ws)
     }
 
   def langId(text: Column): Column = {
@@ -61,7 +63,7 @@ object TextAnalysis {
         round(length(regexp_replace(t, "\\s+", "")).cast("double") /
           greatest(size(toks), lit(1)), 4))
       .withColumn("stopword_ratio",
-        round(size(filter(toks, x => x.isInCollection(stop))).cast("double") /
+        round(graft.expr.VectorFunctions.countIn(toks, stop).cast("double") /
           greatest(size(toks), lit(1)), 4))
       .withColumn("alpha_ratio",
         round(length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") /

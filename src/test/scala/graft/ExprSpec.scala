@@ -45,6 +45,23 @@ class ExprSpec extends AnyFunSuite {
     assert(r === 8.0)
   }
 
+  test("graft_count_in: occurrence counting (duplicates included) == filter-HOF form") {
+    val ws = Seq("the", "a", "of")
+    val df = Seq(
+      Seq("the", "cat", "the", "a"),   // 3 (duplicates counted)
+      Seq("x", "y"),                   // 0
+      Seq.empty[String]                // 0
+    ).toDF("toks")
+    val viaExpr = df.select(VectorFunctions.countIn(col("toks"), ws)).as[Int].collect()
+    val viaHof  = df.select(size(filter(col("toks"), t => t.isInCollection(ws))))
+      .as[Int].collect()
+    assert(viaExpr === Array(3, 0, 0))
+    assert(viaExpr === viaHof)
+    // SQL surface + non-literal set rejected
+    assert(spark.sql("SELECT graft_count_in(array('a','b','a'), array('a')) AS c")
+      .as[Int].head() === 2)
+  }
+
   test("dot runs inside whole-stage codegen") {
     val df = spark.range(1000)
       .select(array((0 until 8).map(i => (col("id") * i).cast("double")): _*).as("v"))
