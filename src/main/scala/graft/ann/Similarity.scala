@@ -70,9 +70,13 @@ object Similarity {
     bits.reduce((a, b) => a + b)
   }
 
-  /** Fixed vector width of `vecCol`, read from the first row (one tiny job). */
-  private[graft] def detectDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol)).as("d")).head().getInt(0)
+  /** Fixed vector width of `vecCol`, read from the first row (one tiny job);
+    * None on an empty corpus (callers short-circuit to an empty result
+    * instead of crashing — the brute-force paths already return empty).
+    */
+  private[graft] def detectDim(df: DataFrame, vecCol: String): Option[Int] =
+    df.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0))
 
   /** IVF (inverted-file) ANN — the second scale path: a deterministic
     * k-means-lite coarse quantizer (seeded hash-ranked init, fixed
@@ -81,23 +85,26 @@ object Similarity {
     * are tiny (nLists × dim) → every per-row step is a broadcast lookup; the
     * only shuffles are the per-iteration centroid averages.
     */
+  /** @param quantizerSampleMod hash-predicate quantizer sampling: the train
+    *        set keeps rows with `xxhash64(id, seed) % mod == 0` — roughly a
+    *        1/mod sample with NO count job and NO full-corpus cache (the
+    *        round-2 form cached + counted the whole corpus just to size a
+    *        fraction — a full-table materialization at 10^12 rows). Default 1
+    *        trains on everything (small-corpus / oracle semantics unchanged);
+    *        at scale pass ~corpusRows/10^5. Only the (bounded) train set is
+    *        cached; the assignment pass streams the corpus uncached.
+    */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int, nLists: Int = 16, nProbe: Int = 4,
               iters: Int = 3, seed: Long = 42L,
-              quantizerSampleRows: Long = 100000L): DataFrame = {
+              quantizerSampleMod: Long = 1L): DataFrame = {
     val spark = df.sparkSession
-    val base  = withNorm(df, idCol, vecCol).cache()
+    val base  = withNorm(df, idCol, vecCol)
 
-    // Train the coarse quantizer on a BOUNDED sample: each k-means iteration
-    // posexplodes dim × rows of its input — on the full corpus that shuffle
-    // dominates the whole job, and a quantizer needs only a representative
-    // sample anyway (round-1 verdict). Below the bound the sample IS the
-    // corpus, so small-scale results (and the recall tests) are unchanged.
-    val nBase = base.count()
     val trainSet =
-      if (nBase <= quantizerSampleRows) base
-      else base.sample(withReplacement = false,
-        quantizerSampleRows.toDouble / nBase, seed).cache()
+      if (quantizerSampleMod <= 1L) base
+      else base.filter(pmod(xxhash64(col("id"), lit(seed)), lit(quantizerSampleMod)) === 0)
+        .cache()
 
     def nearestCentroid(cents: Array[(Int, Array[Double])]) = {
       val bc = graft.util.Bc(spark.sparkContext.broadcast(cents))
@@ -133,6 +140,9 @@ object Similarity {
       val byId = next.toMap
       centroids = centroids.map { case (cid, old) => (cid, byId.getOrElse(cid, old)) }
     }
+    // centroid training is entirely eager (driver-side collects) — the train
+    // cache is dead weight from here on; the search plan below never uses it
+    if (quantizerSampleMod > 1L) trainSet.unpersist(false)
 
     val assigned = base.withColumn("cluster", nearestCentroid(centroids)(col("v")))
     // query → its nProbe nearest centroid lists (distance to centroid, tiny)
@@ -170,24 +180,37 @@ object Similarity {
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int, nPlanes: Int = 12,
               tables: Int = 6, seed: Long = 42L): DataFrame = {
-    val dim = detectDim(df, vecCol)
     val base = withNorm(df, idCol, vecCol)
-      .withColumn("buckets", array((0 until tables).map(t =>
-        hyperplaneBuckets(col("v"), nPlanes, dim, seed + t * 7919L)): _*))
-    val exploded = base.select(col("id"), col("v"), col("norm"),
-      posexplode(col("buckets")).as(Seq("table", "bucket")))
-    val q2 = exploded.filter(col("id").isInCollection(queryIds))
-      .select(col("id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"),
-        col("table"), col("bucket"))
-    val cand = exploded.join(q2, Seq("table", "bucket"))
-      .filter(col("id") =!= col("qid"))
-      .select("qid", "qv", "qnorm", "id", "v", "norm")
-      .dropDuplicates("qid", "id")
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
-    cand
-      .withColumn("cosine", round(cosine(col("qv"), col("v"), col("qnorm"), col("norm")), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("cosine"))
+    detectDim(df, vecCol) match {
+      case None =>
+        // empty corpus → empty result with the contract schema
+        base.select(col("id").as("qid"), lit(1).as("rank"),
+          col("id").as("neighbor_id"), lit(0.0).as("cosine")).limit(0)
+      case Some(dim) =>
+        // bucket rows are NARROW (id, table, bucket) — the candidate explode
+        // and (qid, id) dedup shuffle no vectors; v/norm join back by id only
+        // for the |candidates| rows that survive (the same narrowing
+        // Dedup.embeddingLshPairs measured at 2× on the whole query)
+        val bucketed = base.select(col("id"),
+          posexplode(array((0 until tables).map(t =>
+            hyperplaneBuckets(col("v"), nPlanes, dim, seed + t * 7919L)): _*))
+            .as(Seq("table", "bucket")))
+        val q2 = bucketed.filter(col("id").isInCollection(queryIds))
+          .select(col("id").as("qid"), col("table"), col("bucket"))
+        val cand = bucketed.join(broadcast(q2), Seq("table", "bucket"))
+          .filter(col("id") =!= col("qid"))
+          .select("qid", "id")
+          .dropDuplicates("qid", "id")
+        val qv = base.filter(col("id").isInCollection(queryIds))
+          .select(col("id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+        cand
+          .join(base, Seq("id"))
+          .join(broadcast(qv), Seq("qid"))
+          .withColumn("cosine", round(cosine(col("qv"), col("v"), col("qnorm"), col("norm")), 4))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("cosine"))
+    }
   }
 }

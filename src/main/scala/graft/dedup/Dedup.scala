@@ -165,17 +165,23 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash over whitespace tokens: per-token xxhash64; each bit
-    * contributes ±1; sign of the sum per bit position → fingerprint bit.
-    * Pure, deterministic; narrow UDF (64-way bit loop is not worth an
-    * explode blowup of 64× the token count).
+  /** 64-bit SimHash over whitespace tokens: a 64-bit per-token hash built
+    * from two MurmurHash3.stringHash 32-bit halves (pinned — changing the
+    * hash would change every recorded fingerprint); each bit contributes ±1;
+    * sign of the sum per bit position → fingerprint bit. Pure, deterministic;
+    * narrow UDF (64-way bit loop is not worth an explode blowup of 64× the
+    * token count).
     */
+  // String.split(regex) compiles the pattern PER CALL — the named per-row
+  // pitfall (CLAUDE.md); Pattern is immutable + thread-safe, compile once.
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
   val simhash64: Column => Column = {
     val f = udf { text: String =>
       if (text == null) 0L
       else {
         val counts = new Array[Int](64)
-        text.trim.split("\\s+").foreach { tok =>
+        wsPattern.split(text.trim).foreach { tok =>
           val h = (scala.util.hashing.MurmurHash3.stringHash(tok).toLong << 32) |
             (scala.util.hashing.MurmurHash3.stringHash(tok.reverse).toLong & 0xffffffffL)
           var j = 0
@@ -283,6 +289,13 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // A silent non-converged exit would split duplicate groups with no
+    // signal (a chain of diameter > maxIter propagates min-ids only maxIter
+    // hops). Components diverging from the transitive closure must surface.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter rounds " +
+          "(pair graph has a component with diameter > maxIter); raise maxIter")
     labels.select(col("id"), col("lbl").as("group_rep"))
   }
 
@@ -334,11 +347,16 @@ object Dedup {
     val v = df.select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("norm", graft.expr.VectorFunctions.norm(col("v")))
+    // empty corpus → empty pair set (detectDim has no row to read)
+    val dimOpt = graft.ann.Similarity.detectDim(df, vecCol)
+    if (dimOpt.isEmpty)
+      return v.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0).as("cosine")).limit(0)
     // bucket rows are NARROW (id, table, bucket): shuffling the vectors
     // through the bucket join + candidate dedup costs |candidates|·2·dim
     // doubles (measured 2× the whole query); vectors join back by id AFTER
     // the id-only dedup instead
-    val dim = graft.ann.Similarity.detectDim(df, vecCol)
+    val dim = dimOpt.get
     val bucketed = v.select(col("id"),
       posexplode(array((0 until tables).map(t =>
         graft.ann.Similarity.hyperplaneBuckets(col("v"), nPlanes, dim, seed + t * 7919L)): _*))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.functions.{aggregate, call_function, lit, sqrt, zip_with}
+import org.apache.spark.sql.functions.{aggregate, call_function, coalesce, lit, sqrt, zip_with}
 
 /** Native Catalyst expressions for the embedding hot path (SURVEY.md §2.11
   * tier (b): a codegen'd `Expression` beats a Scala UDF beats interpreted
@@ -197,6 +197,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 /** Column API over the expressions, with a semantics-identical
   * higher-order-function fallback for sessions without the extension
   * (detected once per session via the public catalog API).
+  *
+  * Fallback parity covers ALL inputs, not just null-free equal-length
+  * vectors: the native expressions skip null elements and truncate to the
+  * shorter array, so the fallback coalesces each elementwise product to 0
+  * (`zip_with` pads the shorter side with nulls → x*y is null exactly for
+  * skipped/missing positions). Summation order is the same left-to-right
+  * fold, so results are bit-identical whether or not the extension is
+  * installed (ExprSpec pins this including null/mismatched inputs).
   */
 object VectorFunctions {
 
@@ -204,14 +212,21 @@ object VectorFunctions {
   def available(spark: SparkSession): Boolean =
     spark.catalog.functionExists("graft_dot")
 
+  private def dotFallback(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => coalesce(x * y, lit(0.0))),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def normFallback(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + coalesce(x * x, lit(0.0))))
+
   /** Σ a·b (doubles, left-to-right — same summation order as the fallback). */
   def dot(spark: SparkSession, a: Column, b: Column): Column =
     if (available(spark)) call_function("graft_dot", a, b)
-    else aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    else dotFallback(a, b)
 
   def norm(spark: SparkSession, v: Column): Column =
     if (available(spark)) call_function("graft_norm", v)
-    else sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    else normFallback(v)
 
   /** Overloads resolving the session from the active-session thread local;
     * a session-less caller gets the fallback formulation.
@@ -219,14 +234,13 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     SparkSession.getActiveSession match {
       case Some(s) => dot(s, a, b)
-      case None =>
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      case None => dotFallback(a, b)
     }
 
   def norm(v: Column): Column =
     SparkSession.getActiveSession match {
       case Some(s) => norm(s, v)
-      case None => sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+      case None => normFallback(v)
     }
 
   /** Count of `arr` elements in the literal string set `ws` (occurrences,

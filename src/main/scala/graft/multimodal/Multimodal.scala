@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // MessageDigest.getInstance synchronizes on the JCA provider registry — a
+  // per-row (worse: per-FRAME) call serializes every executor thread at
+  // local[32] (same pitfall Drain.md5Local fixes). One digest per thread,
+  // reset() per use.
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   final case class MediaRow(doc_id: Long, kind: String, media: Array[Byte])
   final case class MediaFeatures(
       doc_id: Long, kind: String, byte_len: Int,
@@ -40,7 +47,9 @@ object Multimodal {
     * output schema).
     */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Int, String) = {
-    val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val digest = md5Local.get()
+    digest.reset()
+    val md = digest.digest(bytes)
     val hex = md.map(b => f"${b & 0xff}%02x").mkString
     // ??? real decode goes here — container has no image/audio codecs.
     // Fake dimensions derive from the digest's hex chars (oracle-checkable).
@@ -79,7 +88,8 @@ object Multimodal {
       val (_, _, durationMs, _) = decodeStub(r.media)
       (0 until n).map { i =>
         val offset = if (n == 1) 0 else (durationMs.toLong * i / (n - 1)).toInt
-        val md = java.security.MessageDigest.getInstance("MD5")
+        val md = md5Local.get()
+        md.reset()
         md.update(r.media)
         md.update(java.nio.ByteBuffer.allocate(4).putInt(offset).array())
         // ??? real frame grab goes here — container has no video codecs.

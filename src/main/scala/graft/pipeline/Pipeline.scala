@@ -120,9 +120,13 @@ object Pipeline {
     val writeTasks = spark.sparkContext.defaultParallelism
     val routes =
       if (Router.isComplete(s"$workDir/route")) {
+        // resume: the bucket spec comes from the stage's _lineage.json (the
+        // count the files were WRITTEN with), not from this session's
+        // parallelism; an explicit convBuckets is validated against it
         if (bucketRoute)
           Router.ensureBucketedTable(spark, routeTable, enrichedPlan.schema,
-            "event_id", "conv_id", buckets, s"$workDir/route")
+            "event_id", "conv_id", s"$workDir/route",
+            expectedBuckets = if (convBuckets > 0) Some(convBuckets) else None)
         Router.readMetrics(s"$workDir/route")
       } else if (bucketRoute)
         timed("route")(Router.fanOutBucketed(enrichedPlan, "event_id", "conv_id",

@@ -140,15 +140,48 @@ object Router {
     counts
   }
 
+  /** Bucket count the files at `outDir` were actually WRITTEN with, read
+    * back from the `_lineage.json` sidecar [[fanOutBucketed]] records; None
+    * when the prior layout was non-bucketed (plain [[fanOut]]) or the sidecar
+    * is missing.
+    */
+  def lineageBuckets(outDir: String): Option[Int] = {
+    val p = Paths.get(s"$outDir/_lineage.json")
+    if (!Files.exists(p)) None
+    else """"buckets":(\d+)""".r
+      .findFirstMatchIn(Files.readString(p))
+      .map(_.group(1).toInt)
+  }
+
   /** Re-register the bucketed route table after a restart (the bucket spec
     * lives in the catalog, not in the files — a NEW session resuming a
     * completed stage must redeclare the identical layout, then recover the
     * route-key partitions from the directory structure).
+    *
+    * The bucket count comes from the stage's own `_lineage.json`, NEVER from
+    * the resuming session's configuration: a session resumed with a different
+    * parallelism would otherwise register a wrong CLUSTERED BY spec — fewer
+    * buckets than written breaks the bucket-id filename scan, more silently
+    * fakes a HashPartitioning and corrupts any bucket-aligned join. Resuming
+    * over a non-bucketed prior layout (plain [[fanOut]] files) is an error
+    * for the same reason. `expectedBuckets` (when the caller pins a count
+    * explicitly) is validated against the recorded value.
     */
   def ensureBucketedTable(spark: SparkSession, tableName: String,
                           schema: org.apache.spark.sql.types.StructType,
-                          routeKey: String, bucketKey: String, buckets: Int,
-                          outDir: String): Unit =
+                          routeKey: String, bucketKey: String, outDir: String,
+                          expectedBuckets: Option[Int] = None): Int = {
+    val buckets = lineageBuckets(outDir).getOrElse(throw new IllegalStateException(
+      s"$outDir was not written as a bucketed route store (no bucket count in " +
+        "_lineage.json) — a bucketed-table registration over plain fanOut files " +
+        "would claim a hash layout the files do not have; rerun the stage with " +
+        "fanOutBucketed or resume with bucketRoute=false"))
+    expectedBuckets.filter(_ != buckets).foreach { e =>
+      throw new IllegalStateException(
+        s"$outDir was written with $buckets buckets but the resuming session " +
+          s"requested $e — the recorded layout wins; drop the explicit bucket " +
+          "count or rewrite the stage")
+    }
     if (!spark.catalog.tableExists(tableName)) {
       val dataCols = schema.fields.filterNot(_.name == routeKey)
       val ddlSchema = (dataCols :+ schema(routeKey))
@@ -160,6 +193,8 @@ object Router {
            |LOCATION '$outDir/data'""".stripMargin)
       spark.catalog.recoverPartitions(tableName)
     }
+    buckets
+  }
 
   def writeMetrics(outDir: String, counts: Seq[SinkMetrics]): Unit = {
     val json = counts.map(m => s"""{"route":"${m.route}","rows":${m.rows}}""")

@@ -50,6 +50,16 @@ object Rank {
       var idx = bc.value(i)
       it.map { r => idx += 1; Row.fromSeq(r.toSeq :+ idx) }
     }
-    (spark.createDataFrame(rows, schema), total)
+    val out = spark.createDataFrame(rows, schema)
+    if (persistSorted) {
+      // Release the sorted cache before returning: a long-lived session
+      // (Verify runs every query in one session) would otherwise accumulate
+      // one MEMORY_AND_DISK table per vocab call until shutdown. The ranked
+      // output is localCheckpoint'ed (eager) first so the returned plan no
+      // longer references the unpersisted cache.
+      val pinned = out.localCheckpoint(true)
+      sorted.unpersist(false)
+      (pinned, total)
+    } else (out, total)
   }
 }

@@ -143,6 +143,26 @@ class DedupSpec extends AnyFunSuite {
     assert(cc.size === 13)
   }
 
+  test("connectedComponents surfaces non-convergence instead of silently splitting groups") {
+    // chain of diameter 9 with maxIter=2: min-id propagation cannot finish —
+    // must throw, never return split groups that diverge from the transitive
+    // closure oracle
+    val pairs = (1L to 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val err = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 2).collect()
+    }
+    assert(err.getMessage.contains("did not converge"))
+  }
+
+  test("empty corpus: LSH dedup and ANN return empty results, not a crash") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.embeddingLshPairs(empty, "vec_id", "embedding", tau = 0.5).count() === 0L)
+    val topk = Similarity.lshTopK(empty, "vec_id", "embedding", Seq(0L), 5)
+    assert(topk.count() === 0L)
+    assert(topk.columns === Array("qid", "rank", "neighbor_id", "cosine"))
+    assert(Dedup.embeddingCosinePairs(empty, "vec_id", "embedding", 0.5).count() === 0L)
+  }
+
   test("keepRepresentatives: one survivor per group, uniques untouched") {
     val pairs  = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val groups = Dedup.connectedComponents(pairs)

@@ -45,6 +45,30 @@ class ExprSpec extends AnyFunSuite {
     assert(r === 8.0)
   }
 
+  test("fallback parity on null elements and length-mismatched vectors") {
+    // native: null elements skipped, mismatched lengths truncated to min —
+    // the fallback must yield the SAME values (a session without the
+    // extension must not change query results)
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](2.0, 2.0, 2.0)),
+      (Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](4.0, 5.0)), // len mismatch
+      (Seq[java.lang.Double](null, null), Seq[java.lang.Double](1.0, 1.0))
+    ).toDF("a", "b")
+    // force the fallback path through the no-active-session overload trick:
+    // call the private formulation via a session where the function exists,
+    // then compare with an explicitly-built HOF column
+    val hofDot = aggregate(zip_with(col("a"), col("b"), (x, y) => coalesce(x * y, lit(0.0))),
+      lit(0.0), (acc, x) => acc + x)
+    val hofNorm = sqrt(aggregate(col("a"), lit(0.0), (acc, x) => acc + coalesce(x * x, lit(0.0))))
+    val native  = df.select(VectorFunctions.dot(spark, col("a"), col("b"))).as[Double].collect()
+    val viaHof  = df.select(hofDot).as[Double].collect()
+    assert(native === Array(8.0, 14.0, 0.0))
+    assert(native === viaHof)
+    val nativeN = df.select(VectorFunctions.norm(spark, col("a"))).as[Double].collect()
+    val hofN    = df.select(hofNorm).as[Double].collect()
+    assert(nativeN === hofN)
+  }
+
   test("graft_count_in: occurrence counting (duplicates included) == filter-HOF form") {
     val ws = Seq("the", "a", "of")
     val df = Seq(

@@ -92,6 +92,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
   }
 
+  test("lshTopK bucket exchange carries no vector column (id-only candidates)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = graft.ann.Similarity.lshTopK(emb, "vec_id", "embedding",
+      (0L until 5L), 5, nPlanes = 6, tables = 4)
+    q.collect()
+    // every Exchange in the candidate path must shuffle narrow rows: no
+    // exchange output may contain the vector column `v` (vectors join back
+    // by id after the (qid, id) dedup)
+    val exchanges = q.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      assert(!e.output.exists(a => a.name == "v" || a.name == "qv"),
+        s"bucket exchange shuffles vectors: ${e.output.map(_.name)}")
+    }
+    assert(!finalPlan(q).contains("CartesianProduct"))
+  }
+
+  test("ivfTopK plans no full-corpus InMemoryRelation (hash-sampled quantizer)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = graft.ann.Similarity.ivfTopK(emb, "vec_id", "embedding",
+      (0L until 5L), 5, nLists = 4, nProbe = 2, iters = 1)
+    q.collect()
+    val plan = finalPlan(q)
+    assert(!plan.contains("InMemoryTableScan"),
+      s"IVF search path reads a cached full corpus:\n$plan")
+  }
+
   test("simhash banded pairing plans equi-joins only: no nested-loop, no cartesian") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = finalPlan(graft.dedup.Dedup.simhashPairs(docs, "doc_id", "text", 7))

@@ -103,9 +103,15 @@ class RouterSpec extends AnyFunSuite {
     val plan = agg.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"bucketed read still shuffles:\n$plan")
 
-    // restart: a fresh session has no catalog entry — re-register + recover
+    // restart: a fresh session has no catalog entry — re-register + recover.
+    // The bucket count is NOT passed in: it must come from _lineage.json (a
+    // resumed session with different parallelism would otherwise declare a
+    // wrong CLUSTERED BY spec).
     spark.sql(s"DROP TABLE $table")
-    Router.ensureBucketedTable(spark, table, df.schema, "event_id", "conv_id", 8, dir)
+    assert(Router.lineageBuckets(dir) === Some(8))
+    val registered =
+      Router.ensureBucketedTable(spark, table, df.schema, "event_id", "conv_id", dir)
+    assert(registered === 8)
     val back = spark.table(table)
     assert(back.count() === 600L)
     assert(back.schema("event_id").dataType === org.apache.spark.sql.types.StringType)
@@ -113,7 +119,29 @@ class RouterSpec extends AnyFunSuite {
     agg2.collect()
     assert(!agg2.queryExecution.executedPlan.toString.contains("Exchange"),
       "re-registered table lost the bucket spec")
+
+    // a pinned count that disagrees with the written layout must error, not
+    // silently re-declare
     spark.sql(s"DROP TABLE $table")
+    val mismatch = intercept[IllegalStateException] {
+      Router.ensureBucketedTable(spark, table, df.schema, "event_id", "conv_id",
+        dir, expectedBuckets = Some(16))
+    }
+    assert(mismatch.getMessage.contains("written with 8 buckets"))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("ensureBucketedTable refuses a non-bucketed prior layout") {
+    val df = (0 until 60).map(i => (s"conv${i % 5}", i, s"e${i % 2}"))
+      .toDF("conv_id", "v", "event_id")
+    val dir = tmp()
+    Router.fanOut(df, "event_id", dir) // PLAIN layout — no bucket spec
+    assert(Router.lineageBuckets(dir) === None)
+    val err = intercept[IllegalStateException] {
+      Router.ensureBucketedTable(spark, "graft_route_plainbkt", df.schema,
+        "event_id", "conv_id", dir)
+    }
+    assert(err.getMessage.contains("not written as a bucketed route store"))
   }
 
   test("stage: checkpoint-resume skips completed stages, outputs identical") {
