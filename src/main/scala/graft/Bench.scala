@@ -11,6 +11,16 @@ import graft.pipeline.Pipeline
   * "pipeline" is the end-to-end parse→enrich→route→window→aggregate job
   * (the north-rule metric); the remaining entries time individual operators
   * (forced through a noop sink so column pruning can't skip work).
+  *
+  * Methodology (visible in the JSON as `"best_of":2`): EVERY timed entry —
+  * including the large-pipeline throughput run — is the minimum of two
+  * interleaved executions. This host shows 2-7× CPU-steal storms; a single
+  * sample can triple with zero code change (round 2 recorded exactly that on
+  * the one entry that was then measured once). Work dir + shuffle dir live
+  * on tmpfs (/dev/shm) so a shared-disk stall can't masquerade as compute,
+  * same placement as ScalingBench. The large run is also A/B'd against the
+  * plain (non-bucketed) route layout in the same interleaving —
+  * `"ab_route"` in the JSON — so a bucketing cost can never hide as noise.
   */
 object Bench {
 
@@ -23,9 +33,26 @@ object Bench {
   def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  private def rmrf(p: String): Unit = {
+    val path = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(path)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // tmpfs work dir: measure compute, not the sandbox's single shared disk
+    // (a real cluster's storage scales with executors; ScalingBench has used
+    // this placement since round 2)
+    val work =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+        java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("/dev/shm"), "graft-bench").toString
+      else java.nio.file.Files.createTempDirectory("graft-bench").toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,10 +60,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.expr.GraftExtensions")
+      .config("spark.local.dir", s"$work/spark-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     var turns = 0L
 
@@ -45,12 +72,18 @@ object Bench {
     Pipeline.run(spark, Transcripts.fromEvents(spark, "/root/testdata/sf0.001"),
       s"$work/warmup")
 
-    // end-to-end pipeline (includes routed sink writes + metrics)
-    val (res, tPipe) = timed {
-      Pipeline.run(spark, Transcripts.fromEvents(spark, sfDir), s"$work/pipe")
+    // end-to-end pipeline (includes routed sink writes + metrics):
+    // best-of-2 like everything else; each rep gets a fresh stage dir (a
+    // reused dir would resume completed stages and time nothing)
+    val pipeReps = (1 to 2).map { r =>
+      val (res, t) = timed {
+        Pipeline.run(spark, Transcripts.fromEvents(spark, sfDir), s"$work/pipe$r")
+      }
+      rmrf(s"$work/pipe$r")
+      turns = res.turns
+      t
     }
-    turns = res.turns
-    results += "pipeline" -> tPipe
+    results += "pipeline" -> pipeReps.min
 
     // individual operators
     val singles = Seq(
@@ -76,27 +109,45 @@ object Bench {
 
     // throughput-representative run: the sf-dir pipeline is dominated by
     // fixed per-stage overhead at 10^5 rows; a ~3M-turn synthetic input
-    // (generation excluded from timing) measures sustained turns/sec
+    // (generation excluded from timing) measures sustained turns/sec.
+    // Interleaved bucketed/plain best-of-2 (b1, p1, b2, p2): the headline is
+    // min(bucketed); min(plain) is the A/B control for the route layout.
     val largeIn = s"$work/large_in"
     Transcripts.synthetic(spark, 150000, seed = 42L, partitions = 64)
       .write.mode("overwrite").parquet(largeIn)
-    val (resL, tLarge) = timed {
-      Pipeline.run(spark, spark.read.parquet(largeIn), s"$work/large")
+    var largeTurns = 0L
+    def largeRun(tag: String, bucketed: Boolean): Double = {
+      val dir = s"$work/large_$tag"
+      val (res, t) = timed {
+        Pipeline.run(spark, spark.read.parquet(largeIn), dir,
+          bucketRoute = bucketed)
+      }
+      rmrf(dir) // bound tmpfs usage across reps
+      largeTurns = res.turns
+      t
     }
+    val largeB = Array.ofDim[Double](2)
+    val largeP = Array.ofDim[Double](2)
+    (0 until 2).foreach { r =>
+      largeB(r) = largeRun(s"b$r", bucketed = true)
+      largeP(r) = largeRun(s"p$r", bucketed = false)
+    }
+    val tLarge = largeB.min
     results += "pipeline_3m_turns" -> tLarge
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    val tput  = if (tPipe > 0) turns / tPipe else 0.0
-    val tputL = if (tLarge > 0) resL.turns / tLarge else 0.0
+    val tput  = turns / results("pipeline")
+    val tputL = largeTurns / tLarge
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$turns,"pipeline_turns_per_sec":$tput%.1f,"large_turns":${resL.turns},"pipeline_large_turns_per_sec":$tputL%.1f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$turns,"pipeline_turns_per_sec":$tput%.1f,"large_turns":$largeTurns,"pipeline_large_turns_per_sec":$tputL%.1f,"best_of":2,"ab_route":{"bucketed_sec":${f"$tLarge%.3f"},"plain_sec":${f"${largeP.min}%.3f"},"bucketed_reps":[${largeB.map(t => f"$t%.3f").mkString(",")}],"plain_reps":[${largeP.map(t => f"$t%.3f").mkString(",")}]}}"""
     // stdout (unprefixed — build.sbt sets run/outputStrategy := StdoutOutput)
     // AND a file, so the driver can parse the metrics either way
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), line + "\n")
     spark.stop()
+    rmrf(work)
   }
 }
