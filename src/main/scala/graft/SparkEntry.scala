@@ -303,8 +303,8 @@ object SparkEntry {
         .select(col("conv_id"), size(col("events")).as("n_events"))
     },
 
-    // O7 — seeded deterministic shuffle (rows-only: xxhash64 not in DuckDB;
-    // permutation/determinism properties are ScalaTest-verified).
+    // O7 — seeded deterministic shuffle (md5-ranked → EXACT DuckDB oracle;
+    // permutation/determinism properties additionally ScalaTest-verified).
     "q_seeded_shuffle" -> { (s, dir) =>
       Preprocessing.seededShuffle(
         transcripts(s, dir).select("conv_id", "turn_idx"),
@@ -381,8 +381,9 @@ object SparkEntry {
           array_join(col("chunk"), " ").as("chunk"))
     },
 
-    // W5 — anchor-based sessionization (mapGroups scan; ScalaTest-verified,
-    // no SQL oracle: the anchor recursion is not expressible in one pass).
+    // W5 — anchor-based sessionization (streaming partition scan on the
+    // Spark side; the DuckDB oracle walks the same anchor recursion with a
+    // recursive CTE stepping one turn per iteration).
     "q_anchor_sessions" -> { (s, dir) =>
       Windows.anchorSessions(transcripts(s, dir), gapSec = 86400)
     },
@@ -419,7 +420,9 @@ object SparkEntry {
         "vec_id", "embedding", queryIds = (0L until 10L), k = 5)
     },
 
-    // LSH-bucketed ANN (approximate; recall vs brute force in ScalaTest).
+    // LSH-bucketed ANN (recall < 1 vs brute force BY DESIGN, but the bucket
+    // construction is deterministic → the exact output is oracle-checkable
+    // via the same splitmix64 plane CTE as q_embed_dedup_lsh).
     "q_ann_lsh" -> { (s, dir) =>
       Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"),
         "vec_id", "embedding", queryIds = (0L until 10L), k = 5)
@@ -440,9 +443,11 @@ object SparkEntry {
     },
 
     // embedding-cosine near-dup pairs at scale: hyperplane-LSH bucketed
-    // equi-join + exact re-rank (the DEFAULT path; approximate recall, so no
-    // SQL oracle — ScalaTest checks recall vs the brute-force baseline and
-    // PlanSpec asserts no nested-loop join). 6 planes × 8 tables because the
+    // equi-join + exact re-rank (the DEFAULT path). The hyperplanes are
+    // DETERMINISTIC splitmix64 arithmetic, so the DuckDB oracle recomputes
+    // the same planes/buckets/pairs EXACTLY (Similarity.planeWeightsSqlCte);
+    // ScalaTest additionally checks recall vs the brute-force baseline and
+    // PlanSpec asserts no nested-loop join. 6 planes × 8 tables because the
     // synthetic corpus' "near"-dups sit at cosine 0.35-0.5 — far below the
     // near-dup regime LSH is selective in; production thresholds (≥0.9) use
     // the 8×8 default with ~0.95+ recall.
@@ -1052,6 +1057,72 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS n_rows
-        |FROM lineitem GROUP BY 1, 2""".stripMargin
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    // chr(1) = the  key delimiter Preprocessing.seededShuffle uses;
+    // '88' = the default seed rendered as a string (Spark casts the long).
+    "q_seeded_shuffle" -> withT(
+      """SELECT conv_id, turn_idx,
+        |       row_number() OVER (
+        |         ORDER BY md5(conv_id || chr(1) || CAST(turn_idx AS VARCHAR) || chr(1) || '88') ASC,
+        |                  conv_id ASC, turn_idx ASC) AS shuffle_pos
+        |FROM transcripts""".stripMargin),
+
+    // The anchor recursion (next anchor = first ts >= prev anchor + gap)
+    // walked one turn per recursive step; all conversations advance in
+    // lockstep, so iterations = max conversation length.
+    "q_anchor_sessions" -> withT(
+      """, seq AS (
+        |  SELECT conv_id, turn_idx, epoch_us(ts) AS us,
+        |         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+        |  FROM transcripts)
+        |SELECT conv_id, turn_idx, session_idx FROM (
+        |  WITH RECURSIVE walk(conv_id, rn, turn_idx, anchor, session_idx) AS (
+        |    SELECT conv_id, rn, turn_idx, us, 0 FROM seq WHERE rn = 1
+        |    UNION ALL
+        |    SELECT s.conv_id, s.rn, s.turn_idx,
+        |           CASE WHEN s.us >= w.anchor + 86400000000 THEN s.us ELSE w.anchor END,
+        |           CASE WHEN s.us >= w.anchor + 86400000000 THEN w.session_idx + 1 ELSE w.session_idx END
+        |    FROM walk w JOIN seq s ON s.conv_id = w.conv_id AND s.rn = w.rn + 1)
+        |  SELECT conv_id, turn_idx, CAST(session_idx AS INT) AS session_idx FROM walk)""".stripMargin),
+
+    // The LSH plane matrix is pure splitmix64 arithmetic — recomputed in SQL
+    // (Similarity.planeWeightsSqlCte) so buckets, candidate pairs, and exact
+    // re-ranked cosines all reproduce bit-for-bit.
+    "q_embed_dedup_lsh" ->
+      s"""WITH emb AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |nrm AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS norm FROM emb),
+         |${Similarity.planeWeightsSqlCte("pw", tables = 8, nPlanes = 6, dim = 64)},
+         |bkt AS (
+         |  SELECT e.id, pw.t,
+         |         CAST(sum(CASE WHEN list_dot_product(e.v, pw.plane) >= 0 THEN (1::BIGINT << pw.p) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM emb e, pw GROUP BY e.id, pw.t),
+         |keep AS (SELECT t, bucket FROM bkt GROUP BY t, bucket HAVING count(*) > 1 AND count(*) <= 2000),
+         |pruned AS (SELECT bkt.id, bkt.t, bkt.bucket FROM bkt JOIN keep USING (t, bucket)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM pruned a JOIN pruned b ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id)
+         |SELECT id_a, id_b, round(list_dot_product(x.v, y.v) / (x.norm * y.norm), 4) AS cosine
+         |FROM cand JOIN nrm x ON cand.id_a = x.id JOIN nrm y ON cand.id_b = y.id
+         |WHERE round(list_dot_product(x.v, y.v) / (x.norm * y.norm), 4) >= 0.35""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH emb AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |nrm AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS norm FROM emb),
+         |${Similarity.planeWeightsSqlCte("pw", tables = 6, nPlanes = 12, dim = 64)},
+         |bkt AS (
+         |  SELECT e.id, pw.t,
+         |         CAST(sum(CASE WHEN list_dot_product(e.v, pw.plane) >= 0 THEN (1::BIGINT << pw.p) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM emb e, pw GROUP BY e.id, pw.t),
+         |cand AS (SELECT DISTINCT q.id AS qid, b.id AS cid
+         |         FROM bkt q JOIN bkt b ON q.t = b.t AND q.bucket = b.bucket AND q.id <> b.id
+         |         WHERE q.id < 10),
+         |scored AS (
+         |  SELECT cand.qid, cand.cid, round(list_dot_product(q.v, x.v) / (q.norm * x.norm), 4) AS cosine
+         |  FROM cand JOIN nrm q ON cand.qid = q.id JOIN nrm x ON cand.cid = x.id)
+         |SELECT qid, CAST(rank AS INT) AS rank, cid AS neighbor_id, cosine FROM (
+         |  SELECT qid, cid, cosine,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin
   )
 }

@@ -99,15 +99,20 @@ object Preprocessing {
   }
 
   /** O7 — seeded deterministic shuffle: a stable pseudo-random total order
-    * `shuffle_pos` from xxhash64(keys, seed) — the pinned-seed replacement
-    * for the reference's unseeded `random.shuffle` batch ordering
-    * (SURVEY.md §7.3.2). Distributed: the hash rank goes through the
-    * two-phase [[graft.util.Rank.globalRowNumber]], never a single-partition
-    * sort; key columns break hash ties so the order is total.
+    * `shuffle_pos` from md5(keys ++ seed, -delimited) — the pinned-seed
+    * replacement for the reference's unseeded `random.shuffle` batch
+    * ordering (SURVEY.md §7.3.2). md5 (not xxhash64) is deliberate: any
+    * deterministic hash yields a valid shuffle, and md5 is computable by
+    * DuckDB, making the permutation EXACTLY oracle-checkable cross-engine
+    * (xxhash64 left this rows-only in rounds 1-2). Distributed: the hash
+    * rank goes through the two-phase [[graft.util.Rank.globalRowNumber]],
+    * never a single-partition sort; key columns break hash ties so the
+    * order is total.
     */
   def seededShuffle(df: DataFrame, keyCols: Seq[String], seed: Long = 88L): DataFrame =
     graft.util.Rank.globalRowNumber(
-        df.withColumn("__h", xxhash64((keyCols.map(col) :+ lit(seed)): _*)),
+        df.withColumn("__h", md5(concat_ws("",
+          keyCols.map(col(_).cast("string")) :+ lit(seed).cast("string"): _*))),
         col("__h").asc +: keyCols.map(col(_).asc), "shuffle_pos")
       ._1.drop("__h")
 

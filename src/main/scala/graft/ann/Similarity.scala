@@ -56,6 +56,47 @@ object Similarity {
       z.toDouble / Long.MaxValue.toDouble
     }
 
+  /** DuckDB CTE computing EXACTLY [[planeMatrix]]'s weights for every
+    * (table, plane, dim) triple — the cross-engine oracle for the LSH paths.
+    * Keep in lockstep with [[planeMatrix]]: same splitmix64 constants, same
+    * signed-to-double conversion.
+    *
+    * DuckDB has no wrapping 64-bit multiply (BIGINT overflow errors), so the
+    * arithmetic runs in HUGEINT mod 2^64 with a 32-bit-split mulmod; XOR and
+    * shifts route through UBIGINT. The final HUGEINT→DOUBLE cast goes via
+    * BIGINT because DuckDB's direct HUGEINT→DOUBLE conversion is NOT
+    * correctly rounded (measured: 9/3072 values off by one ulp), while
+    * BIGINT→DOUBLE matches the JVM's round-to-nearest Long.toDouble.
+    * 9.223372036854775808e18 is Long.MaxValue.toDouble (2^63 — MaxValue
+    * itself is not representable).
+    *
+    * Emits `<name> AS (SELECT t, p, plane ...)` with `plane` a dim-length
+    * DOUBLE list ordered by dimension, for tables t in [0, tables) seeded
+    * `seed + t * 7919` (the table seeding both LSH call sites use).
+    */
+  def planeWeightsSqlCte(name: String, tables: Int, nPlanes: Int, dim: Int,
+                         seed: Long = 42L): String = {
+    val M = "18446744073709551616" // 2^64
+    val A = "11400714819323198485" // 0x9E3779B97F4A7C15
+    val B = "13787848793156543929" // 0xBF58476D1CE4E5B9
+    val C = "10723151780598845931" // 0x94D049BB133111EB
+    def mulmod(a: String, b: String) =
+      s"((($a) % 4294967296) * $b + (((($a) // 4294967296) * ($b % 4294967296)) % 4294967296) * 4294967296) % $M"
+    def xorShift(a: String, k: Int) =
+      s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($a) // ${1L << k} AS UBIGINT)) AS HUGEINT)"
+    s"""$name AS (
+       |  SELECT t, p, list(w ORDER BY d) AS plane FROM (
+       |    SELECT t, p, d,
+       |      (CAST($seed + t*7919 AS HUGEINT) + p*$A + d*$B) % $M AS z0,
+       |      ${mulmod(xorShift("z0", 30), B)} AS z1,
+       |      ${mulmod(xorShift("z1", 27), C)} AS z2,
+       |      ${xorShift("z2", 31)} AS z3,
+       |      CAST(CAST(CASE WHEN z3 >= 9223372036854775808 THEN z3 - $M ELSE z3 END AS BIGINT) AS DOUBLE)
+       |        / 9.223372036854775808e18 AS w
+       |    FROM range(0,$tables) tt(t), range(0,$nPlanes) pp(p), range(0,$dim) dd(d))
+       |  GROUP BY t, p)""".stripMargin
+  }
+
   /** LSH sign-bucket id: `nPlanes` sign bits of projections onto the seeded
     * hyperplanes, packed into a long. Vectors in the same bucket are
     * near-duplicate candidates. `dim` fixes the hyperplane matrix at plan
