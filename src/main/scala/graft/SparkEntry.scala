@@ -508,6 +508,14 @@ object SparkEntry {
         TextAnalysis.rollingMinFingerprint(col("text"), 16).as("roll_fp"))
     },
 
+    // TRUE winnowing (per-window k-gram minima, SIGMOD'03): the plagiarism-
+    // grade fingerprint set, exploded to (doc_id, fp) rows.
+    "q_winnow" -> { (s, dir) =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"),
+        explode(TextAnalysis.winnowFingerprints(col("text"), k = 8, w = 4)).as("fp"))
+    },
+
     // multimodal plumbing: binary media column → (stub-)decoded features.
     "q_media_features" -> { (s, dir) =>
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -550,6 +558,45 @@ object SparkEntry {
         col("label").cast("string"), lit("}")).as("js"))
       js.select(graft.sources.JsonSide.parseStruct(col("js"), "conv STRING, label INT").as("p"))
         .select(col("p.conv").as("conv_id"), col("p.label").as("label"))
+    },
+
+    // S3 under CSV — anomaly_label.csv parity: the label dim is written in
+    // the reference's (BlockId, Label∈{Anomaly,Normal}) shape, read back
+    // through the explicit-schema CSV scan, and joined to the turns (J1).
+    // The oracle computes the same join from parquet directly — the CSV
+    // round-trip being identity is exactly what is checked.
+    "q_csv_labels" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+      val labels = t.groupBy(col("conv_id"))
+        .agg(max(when(col("role") === "tool", 1).otherwise(0)).as("label"))
+      val path = java.nio.file.Files.createTempDirectory("graft-csv-labels").toString
+      graft.sources.CsvArtifacts.writeAnomalyLabelCsv(labels, path)
+      Enrich.convLabels(t.select("conv_id", "turn_idx"),
+        graft.sources.CsvArtifacts.readAnomalyLabelCsv(s, path))
+    },
+
+    // S6 under CSV — *_structured.csv parity: parse output written in the
+    // reference's structured shape and read back with an explicit schema.
+    "q_csv_structured" -> { (s, dir) =>
+      val p = parsed(s, dir).select(
+        col("conv_id").as("ConvId"), col("turn_idx").as("TurnIdx"),
+        col("event_id").as("EventId"), col("event_template").as("EventTemplate"))
+      val path = java.nio.file.Files.createTempDirectory("graft-csv-struct").toString
+      graft.sources.CsvArtifacts.writeStructuredCsv(p, path)
+      graft.sources.CsvArtifacts.readStructuredCsv(s, path,
+          "ConvId STRING, TurnIdx INT, EventId STRING, EventTemplate STRING")
+        .select(col("ConvId").as("conv_id"), col("TurnIdx").as("turn_idx"),
+          col("EventId").as("event_id"), col("EventTemplate").as("event_template"))
+    },
+
+    // S7 under CSV — *_templates.csv parity: the template dictionary through
+    // the reference's (EventId, EventTemplate, Occurrences) CSV shape.
+    "q_csv_templates" -> { (s, dir) =>
+      val dict = Drain.mine(transcripts(s, dir), "text", drainCfg)
+      val path = java.nio.file.Files.createTempDirectory("graft-csv-tmpl").toString
+      graft.sources.CsvArtifacts.writeTemplatesCsv(
+        s.createDataFrame(dict).select("event_id", "event_template", "occurrences"), path)
+      graft.sources.CsvArtifacts.readTemplatesCsv(s, path)
     },
 
     // sanity: TPC-H-ish aggregate over lineitem.
@@ -1013,6 +1060,25 @@ object SparkEntry {
         |                     i -> md5(substr(norm, CAST(i AS INT), 16)))) END AS roll_fp
         |FROM n""".stripMargin,
 
+    // k=8, w=4 → guarantee t=11: any shared substring of 11+ normalized
+    // chars shares a fingerprint. DuckDB list slicing is 1-based inclusive:
+    // hs[j:j+3] is the same 4-hash window as Spark's slice(hs, j, 4).
+    "q_winnow" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(norm) < 8 THEN [md5(norm)]
+        |         ELSE list_transform(range(1, length(norm) - 6), i -> md5(substr(norm, CAST(i AS INT), 8)))
+        |    END AS hs
+        |  FROM n),
+        |sel AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+        |      j -> list_min(hs[j:j+3]))) AS fps
+        |  FROM h)
+        |SELECT doc_id, unnest(fps) AS fp FROM sel""".stripMargin,
+
     "q_media_features" ->
       """SELECT doc_id,
         |  CASE ascii(substr(md5(text), 1, 1)) % 3 WHEN 0 THEN 'image'
@@ -1058,6 +1124,22 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    // CSV round-trips must be identity: same results as the parquet-direct
+    // derivations (any quoting/typing drift in the CSV layer breaks the hash).
+    "q_csv_labels" -> withT(
+      """, labels AS (
+        |  SELECT conv_id, max(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS label
+        |  FROM transcripts GROUP BY conv_id)
+        |SELECT t.conv_id, t.turn_idx, coalesce(l.label, 0) AS label
+        |FROM transcripts t LEFT JOIN labels l USING (conv_id)""".stripMargin),
+
+    "q_csv_structured" -> withP(
+      """SELECT conv_id, turn_idx, event_id, event_template FROM parsed""".stripMargin),
+
+    "q_csv_templates" -> withP(
+      """SELECT event_id, event_template, count(*) AS occurrences
+        |FROM parsed GROUP BY 1, 2""".stripMargin),
 
     // chr(1) = the  key delimiter Preprocessing.seededShuffle uses;
     // '88' = the default seed rendered as a string (Spark casts the long).

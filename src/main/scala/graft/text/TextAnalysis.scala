@@ -83,8 +83,8 @@ object TextAnalysis {
 
   /** Winnowing-style rolling fingerprint: the minimum md5 over all `w`-char
     * windows of the normalized text (a 1-fingerprint winnow — enough to
-    * catch large overlapping chunks; extend to per-window minima for real
-    * winnowing).
+    * catch large overlapping chunks; [[winnowFingerprints]] is the real
+    * per-window-minima winnow).
     */
   def rollingMinFingerprint(text: Column, w: Int = 16): Column = {
     // let-bind the normalized text (see Dedup.shingles): referencing the
@@ -97,4 +97,37 @@ object TextAnalysis {
             i => md5(norm.substr(i, lit(w))))))),
       1)
   }
+
+  /** TRUE winnowing (Schleimer, Wilkerson & Aiken, SIGMOD'03 — public
+    * algorithm): md5 hashes of all `k`-char grams of the whitespace-normalized
+    * lowercase text; from every window of `w` consecutive gram hashes select
+    * the MINIMUM; the fingerprint set is the distinct selected hashes. The
+    * winnowing guarantee: any shared substring of length ≥ t = w + k - 1
+    * yields at least one shared fingerprint (a full window of shared grams
+    * exists inside the match, and both sides select its minimum).
+    *
+    * Texts shorter than `k` fingerprint as a single whole-text hash (so every
+    * document carries ≥ 1 fingerprint). Pure column expression: the gram-hash
+    * array is let-bound (computed once per row — see [[graft.dedup.Dedup.shingles]]
+    * for why) and the window minima re-slice it, O(len · w) per row — w is a
+    * small constant (4-16), and per-row cost is what scales embarrassingly.
+    *
+    * Ties inside a window (md5 collisions between different grams) are
+    * irrelevant to the SET semantics: the min VALUE is selected whichever
+    * position carries it.
+    */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    element_at(
+      transform(array(regexp_replace(lower(trim(text)), "\\s+", " ")), norm =>
+        when(length(norm) < k, array(md5(norm))).otherwise(
+          element_at(
+            transform(
+              array(transform(sequence(lit(1), length(norm) - (k - 1)),
+                i => md5(norm.substr(i, lit(k))))),
+              hs =>
+                array_distinct(
+                  transform(sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
+                    j => array_min(slice(hs, j, lit(w)))))),
+            1))),
+      1)
 }
