@@ -87,21 +87,62 @@ object Streaming {
   /** W5 under streaming: anchor-based sub-sessions per conversation. Within
     * each micro-batch a conversation's rows are processed in turn order;
     * state carries the running anchor across batches.
+    *
+    * Memory bound: the DataStream API gives `flatMapGroupsWithState` an
+    * UNORDERED group iterator, so turn-ordering requires buffering the
+    * conversation's rows OF THIS MICRO-BATCH (the batch twin,
+    * `Windows.anchorSessions`, is O(1) via a partition secondary sort —
+    * streaming groups cannot be secondary-sorted). The buffer holds only
+    * primitive arrays (turn_idx, ts_us, a packed sort key — ~20 bytes/turn,
+    * never the row objects, no boxed sort), and is bounded by ONE
+    * conversation's rows per micro-batch, not by stream history: size
+    * micro-batches (`maxFilesPerTrigger`/`maxOffsetsPerTrigger`) so a
+    * pathological conversation's per-batch slice fits an executor, exactly
+    * like bounding `maxSessionTurns` bounds the batch aggregates. State
+    * itself stays O(1) per conversation (anchor_ts, session_idx). Output
+    * assignments stream lazily from the sorted arrays; nothing per-row is
+    * materialized beyond them (state is finalized BEFORE the iterator is
+    * returned, as the flatMapGroupsWithState contract requires).
     */
   def anchorSessionIds(turns: Dataset[TurnEvent], gapSec: Long): Dataset[SessionAssign] = {
     import turns.sparkSession.implicits._
+    val gapUs = gapSec * 1000000L
     turns.groupByKey(_.conv_id)
       .flatMapGroupsWithState[AnchorState, SessionAssign](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (conv: String, it: Iterator[TurnEvent], state: GroupState[AnchorState]) =>
-          var st = state.getOption.getOrElse(AnchorState(Long.MinValue, -1))
-          val out = it.toSeq.sortBy(_.turn_idx).map { e =>
-            if (st.anchorUs == Long.MinValue || e.ts_us >= st.anchorUs + gapSec * 1000000L)
-              st = AnchorState(e.ts_us, st.sessionIdx + 1)
-            SessionAssign(conv, e.turn_idx, st.sessionIdx)
+          val init = state.getOption.getOrElse(AnchorState(Long.MinValue, -1))
+          val idxB = scala.collection.mutable.ArrayBuilder.make[Int]
+          val tsB  = scala.collection.mutable.ArrayBuilder.make[Long]
+          it.foreach { e => idxB += e.turn_idx; tsB += e.ts_us }
+          val idx = idxB.result()
+          val ts  = tsB.result()
+          val n   = idx.length
+          // primitive sort by turn_idx: pack (turn_idx, position) into a Long
+          // (turn indices are non-negative ints → order-preserving)
+          val order = new Array[Long](n)
+          var i = 0
+          while (i < n) { order(i) = (idx(i).toLong << 32) | i.toLong; i += 1 }
+          java.util.Arrays.sort(order)
+          // finalize state in one primitive pass (must happen before return)
+          var st = init
+          i = 0
+          while (i < n) {
+            val us = ts((order(i) & 0xffffffffL).toInt)
+            if (st.anchorUs == Long.MinValue || us >= st.anchorUs + gapUs)
+              st = AnchorState(us, st.sessionIdx + 1)
+            i += 1
           }
           state.update(st)
-          out.iterator
+          // lazy output: re-derive assignments from the pre-batch state
+          var cur = init
+          Iterator.tabulate(n) { j =>
+            val p  = (order(j) & 0xffffffffL).toInt
+            val us = ts(p)
+            if (cur.anchorUs == Long.MinValue || us >= cur.anchorUs + gapUs)
+              cur = AnchorState(us, cur.sessionIdx + 1)
+            SessionAssign(conv, idx(p), cur.sessionIdx)
+          }
       }
   }
 }

@@ -141,4 +141,40 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
     assert(got === batch)
   }
+
+  test("streaming anchor sessions: one giant conversation in a single batch stays correct") {
+    // 200k turns of ONE conversation delivered in one micro-batch: the
+    // primitive-array buffer path (no row-object Seq, no boxed sort) must
+    // still match the batch twin exactly
+    import spark.implicits._
+    val n = 200000
+    val dir = Files.createTempDirectory("graft-stream-big").toString
+    val rows = spark.range(n.toLong).select(
+      lit("cBIG").as("conv_id"), col("id").cast("int").as("turn_idx"),
+      // 1ms between turns (block of 1000 spans 1s << gap); a 301s jump at
+      // every multiple of 1000 → session_idx = turn_idx / 1000 exactly
+      (col("id") * 1000L +
+        expr("id DIV 1000") * 301000000L).as("ts_us"))
+    rows.repartition(2).write.mode("overwrite").parquet(s"$dir/in")
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .parquet(s"$dir/in")
+      .as[Streaming.TurnEvent]
+    val q = Streaming.anchorSessionIds(stream, gapSec = 300)
+      .writeStream.format("memory").queryName("anchor_big")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+
+    val got = spark.table("anchor_big")
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toMap
+    assert(got.size === n)
+    // expected: session_idx = turn_idx / 1000 (each jump exceeds the gap)
+    assert(got(0) === 0)
+    assert(got(999) === 0)
+    assert(got(1000) === 1)
+    assert(got(n - 1) === (n - 1) / 1000)
+  }
 }
