@@ -3,45 +3,249 @@
 DuckDB against the sf parquet tables, load the Spark result parquet, sort
 columns by name + rows by all columns, and compare values. Usage:
   python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Beyond the driver's oracle_sql.json pass, this gate also checks the
+hash-based queries the driver records rows-only (xxhash64 / Scala
+MurmurHash3 are not DuckDB builtins): pure-Python ports of XXH64 and Scala's
+stringHash — both public, documented algorithms — recompute q_simhash,
+q_simhash_pairs and q_minhash_lsh EXACTLY (validated bit-for-bit against the
+Spark outputs at sf0.001/sf0.01). The only remaining spec-trusted query is
+q_ann_ivf, whose k-means averages are float-summation-order dependent.
 """
 import duckdb, json, sys, glob
 import pandas as pd
 
-sf, out = sys.argv[1], sys.argv[2]
-con = duckdb.connect()
-for p in glob.glob(f"{sf}/*.parquet"):
-    name = p.split("/")[-1].replace(".parquet", "")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+# ---------------------------------------------------------------- hashes ---
+M64 = (1 << 64) - 1
+P1 = 0x9E3779B185EBCA87; P2 = 0xC2B2AE3D27D4EB4F; P3 = 0x165667B19E3779F9
+P4 = 0x85EBCA77C2B2AE63; P5 = 0x27D4EB2F165667C5
 
-oracle = json.load(open(f"{out}/oracle_sql.json"))
-ok = fail = 0
-for q, sql in sorted(oracle.items()):
-    try:
-        odf = con.execute(sql).df()
-        sdf = pd.concat([pd.read_parquet(f) for f in glob.glob(f"{out}/{q}/*.parquet")])
-    except Exception as e:
-        print(f"FAIL {q}: {type(e).__name__}: {e}")
-        fail += 1
-        continue
-    def norm(df):
-        df = df.reindex(sorted(df.columns), axis=1)
-        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-        return df
+def _rotl(x, r): return ((x << r) | (x >> (64 - r))) & M64
+
+def _fmix(h):
+    h ^= h >> 33; h = (h * P2) & M64
+    h ^= h >> 29; h = (h * P3) & M64
+    h ^= h >> 32
+    return h
+
+def xxh64_bytes(data: bytes, seed: int) -> int:
+    """XXH64 over a byte string == Spark's xxhash64(string_col, seed)."""
+    n = len(data); off = 0
+    if n >= 32:
+        v1 = (seed + P1 + P2) & M64; v2 = (seed + P2) & M64
+        v3 = seed & M64; v4 = (seed - P1) & M64
+        def rnd(v, k): return (_rotl((v + k * P2) & M64, 31) * P1) & M64
+        while off + 32 <= n:
+            v1 = rnd(v1, int.from_bytes(data[off:off+8], 'little')); off += 8
+            v2 = rnd(v2, int.from_bytes(data[off:off+8], 'little')); off += 8
+            v3 = rnd(v3, int.from_bytes(data[off:off+8], 'little')); off += 8
+            v4 = rnd(v4, int.from_bytes(data[off:off+8], 'little')); off += 8
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * P2) & M64, 31) * P1) & M64
+            h = (h * P1 + P4) & M64
+    else:
+        h = (seed + P5) & M64
+    h = (h + n) & M64
+    while off + 8 <= n:
+        k1 = int.from_bytes(data[off:off+8], 'little')
+        h ^= (_rotl((k1 * P2) & M64, 31) * P1) & M64
+        h = (_rotl(h, 27) * P1 + P4) & M64
+        off += 8
+    if off + 4 <= n:
+        h ^= (int.from_bytes(data[off:off+4], 'little') * P1) & M64
+        h = (_rotl(h, 23) * P2 + P3) & M64
+        off += 4
+    while off < n:
+        h ^= (data[off] * P5) & M64
+        h = (_rotl(h, 11) * P1) & M64
+        off += 1
+    return _fmix(h)
+
+def xxh64_long(l: int, seed: int) -> int:
+    """Spark XXH64.hashLong (LongType child of xxhash64)."""
+    l &= M64
+    h = (seed + P5 + 8) & M64
+    h ^= (_rotl((l * P2) & M64, 31) * P1) & M64
+    h = (_rotl(h, 27) * P1 + P4) & M64
+    return _fmix(h)
+
+def xxh64_int(i: int, seed: int) -> int:
+    """Spark XXH64.hashInt (IntegerType child of xxhash64)."""
+    h = (seed + P5 + 4) & M64
+    h ^= ((i & 0xFFFFFFFF) * P1) & M64
+    h = (_rotl(h, 23) * P2 + P3) & M64
+    return _fmix(h)
+
+def signed64(u): return u - (1 << 64) if u >= (1 << 63) else u
+
+M32 = (1 << 32) - 1
+def _rotl32(x, r): return ((x << r) | (x >> (32 - r))) & M32
+
+def scala_string_hash(s: str, seed: int = 0xf7ca7fd2) -> int:
+    """Scala MurmurHash3.stringHash: murmur3-x86-32 over char PAIRS."""
+    c1, c2 = 0xcc9e2d51, 0x1b873593
+    h = seed & M32
+    i = 0
+    while i + 1 < len(s):
+        k = (((ord(s[i]) << 16) + ord(s[i+1])) * c1) & M32
+        k = _rotl32(k, 15); k = (k * c2) & M32
+        h ^= k; h = _rotl32(h, 13); h = (h * 5 + 0xe6546b64) & M32
+        i += 2
+    if i < len(s):
+        k = (ord(s[i]) * c1) & M32
+        k = _rotl32(k, 15); k = (k * c2) & M32
+        h ^= k
+    h ^= len(s) & M32
+    h ^= h >> 16; h = (h * 0x85ebca6b) & M32
+    h ^= h >> 13; h = (h * 0xc2b2ae35) & M32
+    h ^= h >> 16
+    return h
+
+def signed32(u): return u - (1 << 32) if u >= (1 << 31) else u
+
+def simhash64(text):
+    """graft.dedup.Dedup.simhash64's exact semantics."""
+    if text is None: return 0
+    counts = [0] * 64
+    for tok in text.strip().split():
+        hi = signed32(scala_string_hash(tok))
+        lo = scala_string_hash(tok[::-1])
+        h = ((hi << 32) | lo) & M64
+        for j in range(64):
+            counts[j] += 1 if (h >> j) & 1 else -1
+    out = 0
+    for j in range(64):
+        if counts[j] > 0: out |= 1 << j
+    return signed64(out)
+
+# -------------------------------------------- supplementary exact oracles ---
+def _shingles(text, n=3):
+    toks = text.strip().split()
+    out, seen = [], set()
+    for i in range(max(len(toks) - n + 1, 0) + 1):
+        if i + n <= len(toks):
+            s = " ".join(toks[i:i+n])
+            if s not in seen:
+                seen.add(s); out.append(s)
+    return out
+
+def supp_simhash(con):
+    docs = con.execute("SELECT doc_id, text FROM documents").df()
+    return pd.DataFrame(
+        [(r.doc_id, simhash64(r.text)) for r in docs.itertuples()],
+        columns=["doc_id", "simhash"])
+
+def supp_simhash_pairs(con, max_hamming=7):
+    fp = supp_simhash(con)
+    vals = list(zip(fp.doc_id, fp.simhash))
+    rows = []
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            (a, fa), (b, fb) = vals[i], vals[j]
+            if a > b: (a, fa), (b, fb) = (b, fb), (a, fa)
+            d = bin((fa ^ fb) & M64).count("1")
+            if d <= max_hamming:
+                rows.append((a, b, d))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+
+def supp_minhash_lsh(con, n=3, numh=24, bands=4, tau=0.3, maxb=500):
+    rpb = numh // bands
+    docs = con.execute("SELECT doc_id, text FROM documents").df()
+    sh = {}
+    for r in docs.itertuples():
+        s = _shingles(r.text, n)
+        if s: sh[r.doc_id] = s
+    seeds = [xxh64_int(i, 42) for i in range(numh)]
+    buckets = {}
+    for did, shs in sh.items():
+        base = [xxh64_bytes(s.encode("utf-8"), 42) for s in shs]
+        sig = [min(signed64(xxh64_long(h, seeds[i])) for h in base)
+               for i in range(numh)]
+        for b in range(bands):
+            h = 42  # Spark xxhash64(array<long>): fold hashLong with running seed
+            for e in sig[b*rpb:(b+1)*rpb]:
+                h = xxh64_long(e, h)
+            buckets.setdefault((b, signed64(h)), []).append(did)
+    cand = set()
+    for ids in buckets.values():
+        if 1 < len(ids) <= maxb:
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i+1, len(ids)):
+                    cand.add((ids[i], ids[j]))
+    rows = []
+    for (a, b) in cand:
+        sa, sb = set(sh[a]), set(sh[b])
+        common = len(sa & sb)
+        jac = round(common / (len(sa) + len(sb) - common), 4)
+        if jac >= tau:
+            rows.append((a, b, jac))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+SUPPLEMENTARY = {
+    "q_simhash": supp_simhash,
+    "q_simhash_pairs": supp_simhash_pairs,
+    "q_minhash_lsh": supp_minhash_lsh,
+}
+
+# ------------------------------------------------------------------ main ---
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def compare(q, odf, sdf, tag=""):
     o, s = norm(odf), norm(sdf)
     if list(o.columns) != list(s.columns):
-        print(f"FAIL {q}: columns oracle={list(o.columns)} spark={list(s.columns)}")
-        fail += 1
-        continue
+        print(f"FAIL {q}{tag}: columns oracle={list(o.columns)} spark={list(s.columns)}")
+        return False
     if len(o) != len(s):
-        print(f"FAIL {q}: rows oracle={len(o)} spark={len(s)}")
-        fail += 1
-        continue
+        print(f"FAIL {q}{tag}: rows oracle={len(o)} spark={len(s)}")
+        return False
     try:
         pd.testing.assert_frame_equal(o, s, check_dtype=False, check_exact=True)
-        print(f"OK   {q}: {len(o)} rows")
-        ok += 1
+        print(f"OK   {q}{tag}: {len(o)} rows")
+        return True
     except AssertionError as e:
-        print(f"FAIL {q}: value mismatch: {str(e)[:400]}")
-        fail += 1
-print(f"\n{ok} ok, {fail} fail")
-sys.exit(1 if fail else 0)
+        print(f"FAIL {q}{tag}: value mismatch: {str(e)[:400]}")
+        return False
+
+if __name__ == "__main__":
+    sf, out = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for p in glob.glob(f"{sf}/*.parquet"):
+        name = p.split("/")[-1].replace(".parquet", "")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    ok = fail = 0
+    for q, sql in sorted(oracle.items()):
+        try:
+            odf = con.execute(sql).df()
+            sdf = pd.concat([pd.read_parquet(f) for f in glob.glob(f"{out}/{q}/*.parquet")])
+        except Exception as e:
+            print(f"FAIL {q}: {type(e).__name__}: {e}")
+            fail += 1
+            continue
+        if compare(q, odf, sdf): ok += 1
+        else: fail += 1
+
+    for q, fn in sorted(SUPPLEMENTARY.items()):
+        if q in oracle:  # promoted to a SQL oracle since — skip the replica
+            continue
+        files = glob.glob(f"{out}/{q}/*.parquet")
+        if not files:
+            continue
+        try:
+            odf = fn(con)
+            sdf = pd.concat([pd.read_parquet(f) for f in files])
+        except Exception as e:
+            print(f"FAIL {q}[py]: {type(e).__name__}: {e}")
+            fail += 1
+            continue
+        if compare(q, odf, sdf, "[py]"): ok += 1
+        else: fail += 1
+
+    print(f"\n{ok} ok, {fail} fail")
+    sys.exit(1 if fail else 0)
