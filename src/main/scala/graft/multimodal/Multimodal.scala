@@ -40,35 +40,75 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decoder: a real implementation would decode the image/audio and
-    * measure it; here the "decoded" dimensions are a deterministic function
-    * of the payload digest (md5), preserving the exact batched-UDF plumbing
-    * (mapPartitions over the binary column, one in-flight batch, typed
-    * output schema).
+  /** Decoded media metadata: what any real decoder measures. */
+  final case class Decoded(width: Int, height: Int, durationMs: Int, digest: String)
+
+  /** The decoder CONTRACT — the seam a real codec implementation drops into
+    * without touching any Spark plumbing (the mapPartitions/flatMap shapes,
+    * schemas, and partitioning in [[extractFeatures]]/[[sampleFrames]] are
+    * decoder-agnostic). Implementations must be:
+    *  - '''serializable''' (instances ship inside task closures), and
+    *  - '''thread-safe or thread-confined''' (executor threads share a JVM —
+    *    keep per-thread native contexts in a ThreadLocal, exactly like
+    *    [[StubDecoder]]'s digest; an ffmpeg/JNI impl would pool its codec
+    *    contexts the same way).
     */
+  trait MediaDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): Decoded
+    /** Digest of the frame at `offsetMs` (a real impl returns a frame
+      * fingerprint or a storage key for the grabbed frame).
+      */
+    def frameDigest(bytes: Array[Byte], offsetMs: Int): String
+  }
+
+  /** STUB decoder — the default in this sandbox (no image/audio/video codecs
+    * ship in the container): "decoded" dimensions are a deterministic
+    * function of the payload digest (md5), so results are stable and
+    * oracle-checkable while the batched plumbing stays real.
+    */
+  object StubDecoder extends MediaDecoder {
+    override def decode(bytes: Array[Byte]): Decoded = {
+      val digest = md5Local.get()
+      digest.reset()
+      val md = digest.digest(bytes)
+      val hex = md.map(b => f"${b & 0xff}%02x").mkString
+      // ??? real decode goes here — container has no image/audio codecs.
+      // Fake dimensions derive from the digest's hex chars (oracle-checkable).
+      Decoded(
+        (hex(0).toInt * 256 + hex(1).toInt) % 1920,
+        (hex(2).toInt * 256 + hex(3).toInt) % 1080,
+        (hex(4).toInt * 256 + hex(5).toInt) * 10,
+        hex)
+    }
+
+    override def frameDigest(bytes: Array[Byte], offsetMs: Int): String = {
+      val md = md5Local.get()
+      md.reset()
+      md.update(bytes)
+      md.update(java.nio.ByteBuffer.allocate(4).putInt(offsetMs).array())
+      // ??? real frame grab goes here — container has no video codecs.
+      md.digest().take(4).map(b => f"${b & 0xff}%02x").mkString
+    }
+  }
+
+  /** Back-compat shim for the original stub entry point. */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Int, String) = {
-    val digest = md5Local.get()
-    digest.reset()
-    val md = digest.digest(bytes)
-    val hex = md.map(b => f"${b & 0xff}%02x").mkString
-    // ??? real decode goes here — container has no image/audio codecs.
-    // Fake dimensions derive from the digest's hex chars (oracle-checkable).
-    val w  = (hex(0).toInt * 256 + hex(1).toInt) % 1920
-    val h  = (hex(2).toInt * 256 + hex(3).toInt) % 1080
-    val ms = (hex(4).toInt * 256 + hex(5).toInt) * 10
-    (w, h, ms, hex)
+    val d = StubDecoder.decode(bytes)
+    (d.width, d.height, d.durationMs, d.digest)
   }
 
   /** Batched feature extraction over the media column. Partition-parallel;
-    * each partition streams its rows through the (stub) decoder without
+    * each partition streams its rows through the decoder without
     * materializing the partition in memory.
     */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow],
+                      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val (w, h, ms, hex) = decodeStub(r.media)
-        MediaFeatures(r.doc_id, r.kind, r.media.length, w, h, ms, hex)
+        val d = decoder.decode(r.media)
+        MediaFeatures(r.doc_id, r.kind, r.media.length,
+          d.width, d.height, d.durationMs, d.digest)
       }
     }
   }
@@ -77,23 +117,19 @@ object Multimodal {
                          frame_digest: String)
 
   /** Frame sampling: `n` evenly spaced frames per media row (video shape:
-    * 1 row → n rows, generator/UDTF-shaped). The frame "decode" is the same
-    * clearly-marked stub — a deterministic digest of (payload, offset) — but
-    * the Spark plumbing (flatMap blowup, typed schema, partition locality)
-    * is exactly what a real ffmpeg-backed extractor would use.
+    * 1 row → n rows, generator/UDTF-shaped). The Spark plumbing (flatMap
+    * blowup, typed schema, partition locality) is exactly what a real
+    * ffmpeg-backed extractor uses; the frame grab goes through the
+    * [[MediaDecoder]] seam (default: the deterministic stub).
     */
-  def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[Frame] = {
+  def sampleFrames(media: Dataset[MediaRow], n: Int,
+                   decoder: MediaDecoder = StubDecoder): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      val (_, _, durationMs, _) = decodeStub(r.media)
+      val durationMs = decoder.decode(r.media).durationMs
       (0 until n).map { i =>
         val offset = if (n == 1) 0 else (durationMs.toLong * i / (n - 1)).toInt
-        val md = md5Local.get()
-        md.reset()
-        md.update(r.media)
-        md.update(java.nio.ByteBuffer.allocate(4).putInt(offset).array())
-        // ??? real frame grab goes here — container has no video codecs.
-        Frame(r.doc_id, i, offset, md.digest().take(4).map(b => f"${b & 0xff}%02x").mkString)
+        Frame(r.doc_id, i, offset, decoder.frameDigest(r.media, offset))
       }
     }
   }

@@ -69,6 +69,25 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(frames.toSeq === again.toSeq)
   }
 
+  test("decoder seam: a custom MediaDecoder drops into the same plumbing") {
+    // a fake "real" decoder: fixed dimensions, offset-string frame keys —
+    // extractFeatures/sampleFrames must route every decode through it
+    object FixedDecoder extends Multimodal.MediaDecoder {
+      override def decode(bytes: Array[Byte]) =
+        Multimodal.Decoded(640, 480, 5000, s"len=${bytes.length}")
+      override def frameDigest(bytes: Array[Byte], offsetMs: Int) = s"frame@$offsetMs"
+    }
+    val docs = Seq((1L, "payload one"), (2L, "payload two!")).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media, FixedDecoder).collect().sortBy(_.doc_id)
+    assert(feats.map(f => (f.width, f.height, f.duration_ms)).toSet === Set((640, 480, 5000)))
+    assert(feats(0).digest === "len=11")
+    val frames = Multimodal.sampleFrames(media, 3, FixedDecoder)
+      .filter(_.doc_id == 1L).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.offset_ms).toSeq === Seq(0, 2500, 5000))
+    assert(frames.map(_.frame_digest).toSeq === Seq("frame@0", "frame@2500", "frame@5000"))
+  }
+
   test("resize plan preserves aspect ratio from decoded dimensions") {
     val docs = Seq((1L, "an image payload")).toDF("doc_id", "text")
     val feats = Multimodal.extractFeatures(Multimodal.asMedia(docs, "doc_id", "text"))
