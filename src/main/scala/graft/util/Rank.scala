@@ -14,10 +14,18 @@ import org.apache.spark.storage.StorageLevel
   *   2. collect only the per-partition row counts (one Long per partition);
   *   3. global index = broadcast partition offset + local position.
   *
-  * Determinism: the range partitioner's reservoir sampling is seeded per
-  * partition index and the parquet scan order is stable, so recomputing the
-  * sorted form (when `persistSorted = false`) reproduces the identical
-  * layout — the two passes see the same row order.
+  * Determinism (the round-3 fix — the round-2 form was WRONG at scale): the
+  * count pass and the assign pass MUST consume the SAME RDD lineage. Each
+  * `Dataset.rdd` call builds a fresh DAG with a fresh range exchange whose
+  * boundary sampling is re-run per execution — two `.rdd` calls meant two
+  * independently-sampled partitionings, and at 10^5 rows × local[32] the
+  * boundaries drifted between the passes: offsets from one layout applied
+  * to another produced a NON-permutation (measured: 100k rows, distinct
+  * positions 99.7k, max position 100.9k, different every run). With one
+  * shared lineage the boundaries are sampled once, the shuffle map output
+  * is written once and reused by both jobs (skipped stages), and
+  * `sortWithinPartitions` canonicalizes reduce-side fetch order — every
+  * execution of the returned frame sees the identical layout.
   *
   * `persistSorted`: spill-backed caching of the sorted form between the
   * count pass and the assign pass. Set it for post-aggregation inputs (a
@@ -36,8 +44,11 @@ object Rank {
     val sorted0 = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
     val sorted  = if (persistSorted) sorted0.persist(StorageLevel.MEMORY_AND_DISK)
                   else sorted0
+    // ONE RDD lineage shared by both passes (see class doc: a second .rdd
+    // call would re-sample the range boundaries and corrupt the rank)
+    val sortedRdd = sorted.toDF().rdd
     // per-partition counts: one Long per partition — always tiny
-    val counts = sorted.toDF().rdd
+    val counts = sortedRdd
       .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
       .collect().sortBy(_._1).map(_._2)
     val total   = counts.sum
@@ -46,7 +57,7 @@ object Rank {
 
     val schema = StructType(
       sorted.schema :+ StructField(outCol, LongType, nullable = false))
-    val rows = sorted.toDF().rdd.mapPartitionsWithIndex { (i, it) =>
+    val rows = sortedRdd.mapPartitionsWithIndex { (i, it) =>
       var idx = bc.value(i)
       it.map { r => idx += 1; Row.fromSeq(r.toSeq :+ idx) }
     }

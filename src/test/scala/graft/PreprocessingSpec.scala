@@ -138,6 +138,35 @@ class PreprocessingSpec extends AnyFunSuite {
     // vocab test; on 500 rows AQE rightly coalesces the range partitions)
   }
 
+  test("seededShuffle stays an exact permutation across MANY range partitions (regression)") {
+    // Round-3 regression: Rank.globalRowNumber built its count pass and
+    // assign pass from TWO .rdd calls — two independently-sampled range
+    // exchanges — and at 10^5 rows the drifted boundaries produced a
+    // non-permutation (duplicate/overflowing positions), differently every
+    // run. Only visible with enough rows that the range exchange keeps
+    // multiple partitions; 500-row tests passed. Pin: 120k rows, exact
+    // 1..n positions, stable across two independent materializations.
+    val n = 120000
+    val df = spark.range(n.toLong)
+      .select(concat(lit("c"), pmod(col("id"), lit(997))).as("conv_id"),
+        col("id").cast("int").as("turn_idx"))
+      .repartition(16)
+    val out = Preprocessing.seededShuffle(df, Seq("conv_id", "turn_idx"))
+    val stats = out.agg(count(lit(1)), countDistinct(col("shuffle_pos")),
+      max(col("shuffle_pos")), min(col("shuffle_pos"))).as[(Long, Long, Long, Long)].head()
+    assert(stats === ((n.toLong, n.toLong, n.toLong, 1L)),
+      s"not a permutation: (rows, distinct, max, min) = $stats")
+    // re-materializing the SAME returned frame must reproduce the layout
+    val again = out.agg(countDistinct(col("shuffle_pos"))).as[Long].head()
+    assert(again === n.toLong)
+    // and an independent end-to-end run must produce the identical permutation
+    val second = Preprocessing.seededShuffle(df, Seq("conv_id", "turn_idx"))
+    val mismatched = out.as("a").join(second.as("b"),
+        col("a.conv_id") === col("b.conv_id") && col("a.turn_idx") === col("b.turn_idx"))
+      .filter(col("a.shuffle_pos") =!= col("b.shuffle_pos")).count()
+    assert(mismatched === 0L)
+  }
+
   test("zeroMean / sigmoidNonzero formulas") {
     val cv = Seq(("g1", "a", 2L), ("g2", "a", 4L)).toDF("conv_id", "event_id", "cnt")
     val zm = Preprocessing.zeroMean(cv).select("cnt_centered").as[Double].collect().sorted
