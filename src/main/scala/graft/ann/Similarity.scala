@@ -125,6 +125,18 @@ object Similarity {
     * the `nProbe` nearest lists and re-ranks exactly inside them. Centroids
     * are tiny (nLists × dim) → every per-row step is a broadcast lookup; the
     * only shuffles are the per-iteration centroid averages.
+    *
+    * FULLY deterministic, including across engines: the centroid mean sums
+    * `floor(x * 2^32)` longs (order-independent integer addition; the 2^32
+    * scaling is a power of two, so `x * 2^32` is exact) instead of a float
+    * `avg` whose value depends on shuffle-merge summation order. Everything
+    * downstream is fixed-order double arithmetic, which is why
+    * `tools/check_oracle.py` can recompute q_ann_ivf EXACTLY (supp_ann_ivf —
+    * keep in lockstep: same centroid quantization, same first-minimum
+    * tie-break, same HALF_UP 4-dp rounding). Quantizing centroids to 2^-32
+    * (~2.3e-10) is far below any assignment boundary that matters; long
+    * sums overflow only past ~2^29 train rows per cluster — at that scale
+    * `quantizerSampleMod` must bound the train set anyway.
     */
   /** @param quantizerSampleMod hash-predicate quantizer sampling: the train
     *        set keeps rows with `xxhash64(id, seed) % mod == 0` — roughly a
@@ -160,18 +172,25 @@ object Similarity {
       }
     }
 
-    // deterministic init: the nLists sampled vectors with smallest hash(id, seed)
+    // deterministic init: the nLists sampled vectors with smallest
+    // (hash(id, seed), id) — the id tie-break pins the order even under a
+    // (practically impossible) hash collision
     var centroids: Array[(Int, Array[Double])] = trainSet
       .withColumn("__h", xxhash64(col("id"), lit(seed)))
-      .orderBy(col("__h")).limit(nLists)
+      .orderBy(col("__h"), col("id")).limit(nLists)
       .select(col("v")).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
 
+    // order-independent mean: Σ floor(x·2^32) over longs, then one fixed
+    // ((sum/2^32)/n) double chain — bit-stable under any shuffle order
+    val quantScale = 4294967296.0 // 2^32
     (1 to iters).foreach { _ =>
       val assigned = trainSet.withColumn("cluster", nearestCentroid(centroids)(col("v")))
       val next = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cluster", "dim").agg(avg(col("x")).as("m"))
+        .groupBy("cluster", "dim")
+        .agg(((sum(floor(col("x") * lit(quantScale))).cast("double") / lit(quantScale))
+          / count(lit(1)).cast("double")).as("m"))
         .groupBy("cluster")
         .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("s"))
         .select(col("cluster"), expr("transform(s, p -> p.m)").as("c"))

@@ -9,8 +9,10 @@ hash-based queries the driver records rows-only (xxhash64 / Scala
 MurmurHash3 are not DuckDB builtins): pure-Python ports of XXH64 and Scala's
 stringHash — both public, documented algorithms — recompute q_simhash,
 q_simhash_pairs and q_minhash_lsh EXACTLY (validated bit-for-bit against the
-Spark outputs at sf0.001/sf0.01). The only remaining spec-trusted query is
-q_ann_ivf, whose k-means averages are float-summation-order dependent.
+Spark outputs at sf0.001/sf0.01). q_ann_ivf joined them in round 3 once its
+centroid mean became order-independent (floor(x*2^32) integer sums): every
+float step now has a fixed op order both runtimes share, so supp_ann_ivf
+reproduces the Spark output bit-for-bit. NO query is spec-only any more.
 """
 import duckdb, json, sys, glob
 import pandas as pd
@@ -183,10 +185,96 @@ def supp_minhash_lsh(con, n=3, numh=24, bands=4, tau=0.3, maxb=500):
             rows.append((a, b, jac))
     return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
 
+def _round4(x):
+    """Spark round(double, 4): BigDecimal(shortest-repr).setScale(4, HALF_UP)
+    then back to double — the unscaled/10^4 division is the single correctly
+    rounded step both runtimes share."""
+    import decimal
+    q = decimal.Decimal(repr(x)).quantize(
+        decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP)
+    return float(q)
+
+def supp_ann_ivf(con, n_lists=8, n_probe=4, iters=2, seed=42, k=5,
+                 query_ids=range(10)):
+    """Exact port of graft.ann.Similarity.ivfTopK at SparkEntry's q_ann_ivf
+    parameters. Every float step replicates the JVM's op order bit-for-bit:
+    sequential dot/norm loops, first-minimum centroid tie-break, the
+    floor(x*2^32) order-independent centroid mean, HALF_UP 4-dp rounding.
+    Keep in lockstep with Similarity.ivfTopK."""
+    import math
+    emb = con.execute("SELECT vec_id, embedding FROM embeddings").df()
+    # float32 -> double is exact; keep ids sorted only for reproducibility
+    base = [(int(r.vec_id), [float(x) for x in r.embedding])
+            for r in emb.itertuples()]
+    norms = {i: math.sqrt(sum_seq(v, lambda x: x * x)) for i, v in base}
+    vecs = dict(base)
+
+    def xxh_id(i):  # Spark xxhash64(id:long, lit(seed):long), default seed 42
+        return signed64(xxh64_long(seed, xxh64_long(i, 42)))
+
+    def nearest(v, cents):
+        best, best_d = -1, float("inf")
+        for cid, c in cents:
+            d = 0.0
+            for i in range(len(c)):
+                x = v[i] - c[i]
+                d += x * x
+            if d < best_d:
+                best_d, best = d, cid
+        return best
+
+    init = sorted(vecs, key=lambda i: (xxh_id(i), i))[:n_lists]
+    cents = [(ci, list(vecs[i])) for ci, i in enumerate(init)]
+    scale = 4294967296.0  # 2^32
+    for _ in range(iters):
+        sums, cnts = {}, {}
+        for i, v in vecs.items():
+            c = nearest(v, cents)
+            cnts[c] = cnts.get(c, 0) + 1
+            s = sums.setdefault(c, [0] * len(v))
+            for d in range(len(v)):
+                s[d] += math.floor(v[d] * scale)
+        cents = [(cid, [(float(sums[cid][d]) / scale) / float(cnts[cid])
+                        for d in range(len(old))] if cid in sums else old)
+                 for cid, old in cents]
+    cluster = {i: nearest(v, cents) for i, v in vecs.items()}
+
+    rows = []
+    for qid in query_ids:
+        if qid not in vecs:
+            continue
+        qv, qn = vecs[qid], norms[qid]
+        dists = [(sum_seq(range(len(c)),
+                          lambda i: (qv[i] - c[i]) * (qv[i] - c[i])), cid)
+                 for cid, c in cents]
+        probes = {cid for _, cid in
+                  sorted(dists, key=lambda t: t[0])[:n_probe]}
+        cand = []
+        for i, v in vecs.items():
+            if i == qid or cluster[i] not in probes:
+                continue
+            dot = 0.0
+            for d in range(len(v)):
+                dot += qv[d] * v[d]
+            cand.append((i, _round4(dot / (qn * norms[i]))))
+        cand.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (i, cos) in enumerate(cand[:k], start=1):
+            rows.append((qid, rank, i, cos))
+    df = pd.DataFrame(rows, columns=["qid", "rank", "neighbor_id", "cosine"])
+    return df.astype({"qid": "int64", "rank": "int32", "neighbor_id": "int64"})
+
+def sum_seq(xs, f):
+    """Strict left-to-right double fold — the JVM loop order."""
+    s = 0.0
+    for x in xs:
+        s += f(x)
+    return s
+
 SUPPLEMENTARY = {
     "q_simhash": supp_simhash,
     "q_simhash_pairs": supp_simhash_pairs,
     "q_minhash_lsh": supp_minhash_lsh,
+    "q_ann_ivf": supp_ann_ivf,
 }
 
 # ------------------------------------------------------------------ main ---
