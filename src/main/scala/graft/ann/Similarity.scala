@@ -111,6 +111,26 @@ object Similarity {
     bits.reduce((a, b) => a + b)
   }
 
+  /** All `tables` bucket ids at once as `array<long>` (table-seeded
+    * `seed + t*7919` like every LSH call site) — bit-identical to
+    * `array(tables × hyperplaneBuckets)` but ONE plan node instead of a
+    * tables·nPlanes·dim-literal forest: whole-stage codegen over the composed
+    * form dominated both LSH queries (~3 s/run regenerating the giant stage;
+    * see [[graft.expr.HyperplaneBucketsAll]]). Falls back to the composed
+    * form when the extension isn't installed.
+    */
+  def hyperplaneBucketsAll(vec: Column, nPlanes: Int, tables: Int, dim: Int,
+                           seed: Long = 42L): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) if graft.expr.VectorFunctions.available(s) =>
+        val flat: Seq[Seq[Double]] = (0 until tables).flatMap(t =>
+          planeMatrix(nPlanes, dim, seed + t * 7919L).toSeq.map(_.toSeq))
+        call_function("graft_hyperplane_buckets", vec, typedlit(flat), lit(nPlanes))
+      case _ =>
+        array((0 until tables).map(t =>
+          hyperplaneBuckets(vec, nPlanes, dim, seed + t * 7919L)): _*)
+    }
+
   /** Fixed vector width of `vecCol`, read from the first row (one tiny job);
     * None on an empty corpus (callers short-circuit to an empty result
     * instead of crashing — the brute-force paths already return empty).
@@ -252,8 +272,7 @@ object Similarity {
         // for the |candidates| rows that survive (the same narrowing
         // Dedup.embeddingLshPairs measured at 2× on the whole query)
         val bucketed = base.select(col("id"),
-          posexplode(array((0 until tables).map(t =>
-            hyperplaneBuckets(col("v"), nPlanes, dim, seed + t * 7919L)): _*))
+          posexplode(hyperplaneBucketsAll(col("v"), nPlanes, tables, dim, seed))
             .as(Seq("table", "bucket")))
         val q2 = bucketed.filter(col("id").isInCollection(queryIds))
           .select(col("id").as("qid"), col("table"), col("bucket"))

@@ -358,8 +358,8 @@ object Dedup {
     // the id-only dedup instead
     val dim = dimOpt.get
     val bucketed = v.select(col("id"),
-      posexplode(array((0 until tables).map(t =>
-        graft.ann.Similarity.hyperplaneBuckets(col("v"), nPlanes, dim, seed + t * 7919L)): _*))
+      posexplode(graft.ann.Similarity.hyperplaneBucketsAll(
+        col("v"), nPlanes, tables, dim, seed))
         .as(Seq("table", "bucket")))
     val keep = bucketed.groupBy(col("table"), col("bucket"))
       .agg(count(lit(1)).as("__bsz"))

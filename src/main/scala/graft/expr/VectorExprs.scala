@@ -174,6 +174,115 @@ case class CountInSet(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All `tables` sign-LSH bucket ids of a vector in ONE expression —
+  * `graft_hyperplane_buckets(vec, matrix, planesPerTable)` returns
+  * `array<long>` (one packed sign-bit bucket per table).
+  *
+  * `matrix` is a single foldable `array<array<double>>` literal holding the
+  * (tables·planesPerTable) hyperplanes table-major; `planesPerTable` a
+  * foldable int. Exists for PLAN size, not arithmetic: the composed
+  * formulation (`array(tables × Σ_p when(graft_dot(v, lit(plane)) >= 0 ...))`)
+  * carries tables·planes·dim literal NODES (4096 at the 8×8×64 defaults) and
+  * whole-stage code generation over that forest dominated the LSH queries —
+  * measured 4.2 s vs 1.2 s with codegen disabled on a 2000-row corpus; this
+  * expression restores a ~3-node tree and a tight generated loop.
+  *
+  * Bit-identical to the composed form (ExprSpec pins it): per plane the
+  * projection is the same left-to-right null-skipping min-length dot as
+  * [[DotProduct]], and `proj >= 0` contributes `1L << p`.
+  */
+case class HyperplaneBucketsAll(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)), IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hyperplane_buckets"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!second.foldable || !third.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_hyperplane_buckets requires literal matrix and planesPerTable arguments")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val mat: Array[Array[Double]] = {
+    val arr = second.eval().asInstanceOf[ArrayData]
+    Array.tabulate(arr.numElements())(i => arr.getArray(i).toDoubleArray())
+  }
+  @transient private lazy val ppt: Int = third.eval().asInstanceOf[Int]
+
+  private def buckets(v: ArrayData): Array[Long] = {
+    val tables = mat.length / ppt
+    val out = new Array[Long](tables)
+    val n = v.numElements()
+    var t = 0
+    while (t < tables) {
+      var b = 0L
+      var p = 0
+      while (p < ppt) {
+        val row = mat(t * ppt + p)
+        val m = math.min(n, row.length)
+        var s = 0.0
+        var i = 0
+        while (i < m) {
+          if (!v.isNullAt(i)) s += v.getDouble(i) * row(i)
+          i += 1
+        }
+        if (s >= 0) b += (1L << p)
+        p += 1
+      }
+      out(t) = b
+      t += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    new GenericArrayData(buckets(a.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("graftPlaneMat", mat, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, _, _) => {
+      val (t, p, i, n, m, s, b, row, out, tables) =
+        (ctx.freshName("t"), ctx.freshName("p"), ctx.freshName("i"),
+         ctx.freshName("n"), ctx.freshName("m"), ctx.freshName("s"),
+         ctx.freshName("b"), ctx.freshName("row"), ctx.freshName("out"),
+         ctx.freshName("tables"))
+      s"""
+         |int $tables = $matRef.length / $ppt;
+         |long[] $out = new long[$tables];
+         |int $n = $v.numElements();
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $b = 0L;
+         |  for (int $p = 0; $p < $ppt; $p++) {
+         |    double[] $row = $matRef[$t * $ppt + $p];
+         |    int $m = java.lang.Math.min($n, $row.length);
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $m; $i++) {
+         |      if (!$v.isNullAt($i)) {
+         |        $s += $v.getDouble($i) * $row[$i];
+         |      }
+         |    }
+         |    if ($s >= 0) $b += (1L << $p);
+         |  }
+         |  $out[$t] = $b;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): HyperplaneBucketsAll =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Session extension registering the vector expressions:
   * `.config("spark.sql.extensions", "graft.expr.GraftExtensions")`.
   */
@@ -191,6 +300,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_count_in"),
       new ExpressionInfo(classOf[CountInSet].getName, "graft_count_in"),
       (children: Seq[Expression]) => CountInSet(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBucketsAll].getName, "graft_hyperplane_buckets"),
+      (children: Seq[Expression]) =>
+        HyperplaneBucketsAll(children(0), children(1), children(2))))
   }
 }
 

@@ -86,6 +86,28 @@ class ExprSpec extends AnyFunSuite {
       .as[Int].head() === 2)
   }
 
+  test("graft_hyperplane_buckets == composed per-table hyperplaneBuckets forest (bit parity)") {
+    import graft.ann.Similarity
+    val rng = new scala.util.Random(11)
+    val dim = 64; val nPlanes = 8; val tables = 8; val seed = 42L
+    val df = (0 until 200).map(i => (i.toLong, Array.fill(dim)(rng.nextFloat() * 2 - 1)))
+      .toDF("id", "emb")
+      .select(col("id"), transform(col("emb"), x => x.cast("double")).as("v"))
+    val fused = df.select(col("id"),
+        Similarity.hyperplaneBucketsAll(col("v"), nPlanes, tables, dim, seed).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val composed = df.select(col("id"),
+        array((0 until tables).map(t =>
+          Similarity.hyperplaneBuckets(col("v"), nPlanes, dim, seed + t * 7919L)): _*).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fused === composed)
+    // and it actually took the fused path: ONE projection node, no dot forest
+    val plan = df.select(Similarity.hyperplaneBucketsAll(col("v"), nPlanes, tables, dim, seed))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_hyperplane_buckets"), plan.take(500))
+    assert(!plan.contains("graft_dot"), "fused path must not expand a per-plane dot forest")
+  }
+
   test("dot runs inside whole-stage codegen") {
     val df = spark.range(1000)
       .select(array((0 until 8).map(i => (col("id") * i).cast("double")): _*).as("v"))
