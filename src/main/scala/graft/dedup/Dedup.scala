@@ -95,15 +95,22 @@ object Dedup {
     * (fixed-size fast path). Affine-map mixing would be cheaper still but
     * overflows under ANSI mode (Spark 4 default).
     */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Column = {
-    // let-bind the base hashes (computed once per row, see shingles)
-    element_at(
-      transform(array(transform(shingleArr, s => xxhash64(s))), base =>
-        array((0 until numHashes).map { i =>
-          array_min(transform(base, h => xxhash64(lit(i), h)))
-        }: _*)),
-      1)
-  }
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) if graft.expr.VectorFunctions.available(s) =>
+        // fused codegen'd loop ([[graft.expr.MinhashSignature]]) — the HOF
+        // form below evaluates numHashes·|shingles| INTERPRETED xxhash64
+        // nodes per row (ArrayTransform is CodegenFallback)
+        call_function("graft_minhash", shingleArr, lit(numHashes))
+      case _ =>
+        // let-bind the base hashes (computed once per row, see shingles)
+        element_at(
+          transform(array(transform(shingleArr, s => xxhash64(s))), base =>
+            array((0 until numHashes).map { i =>
+              array_min(transform(base, h => xxhash64(lit(i), h)))
+            }: _*)),
+          1)
+    }
 
   /** MinHash+LSH candidate pairs: signatures banded into `bands`; rows
     * sharing any (band, band-hash) bucket become candidates; candidates are

@@ -283,6 +283,110 @@ case class HyperplaneBucketsAll(first: Expression, second: Expression, third: Ex
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** One-hash MinHash signature in ONE expression —
+  * `graft_minhash(shingles, numHashes)` returns `array<long>`:
+  * `sig[i] = min over shingles s of xxhash64(lit(i), xxhash64(s))`.
+  *
+  * Bit-identical to the composed higher-order-function form in
+  * [[graft.dedup.Dedup.minhashSignature]] (base = XXH64 over the UTF-8
+  * bytes seed 42, null shingle contributes base = 42 like the builtin;
+  * per-function seed = hashInt(i, 42) then hashLong(base, seed); SIGNED
+  * minimum; empty input yields all-null like `array_min(empty)`) — ExprSpec
+  * pins it and the q_minhash_lsh Python-port oracle re-derives it.
+  *
+  * Exists because `ArrayTransform` lambdas are CodegenFallback: the composed
+  * form evaluates numHashes·|shingles| interpreted xxhash64 expression nodes
+  * PER ROW (measured ~0.9 s of minhash_lsh's 3.0 s at sf0.1); this compiles
+  * to one tight loop over Spark's own XXH64 statics.
+  */
+case class MinhashSignature(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  override def inputTypes = Seq(ArrayType(StringType), IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_minhash requires a literal numHashes argument")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val k: Int = right.eval().asInstanceOf[Int]
+  // per-function seeds: Spark's xxhash64(lit(i), h) folds children with the
+  // running hash as seed — hashInt(i, 42) then hashLong(base, that)
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](k))
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val base =
+        if (arr.isNullAt(j)) 42L
+        else {
+          val s = arr.getUTF8String(j)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        }
+      var i = 0
+      while (i < k) {
+        val v = XXH64.hashLong(base, seeds(i))
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("graftMinhashSeeds", seeds, "long[]")
+    val xxh = classOf[XXH64].getName
+    nullSafeCodeGen(ctx, ev, (arr, _) => {
+      val (j, i, n, base, v, mins, s) =
+        (ctx.freshName("j"), ctx.freshName("i"), ctx.freshName("n"),
+         ctx.freshName("base"), ctx.freshName("v"), ctx.freshName("mins"),
+         ctx.freshName("s"))
+      s"""
+         |int $n = $arr.numElements();
+         |if ($n == 0) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[$seedsRef.length]);
+         |} else {
+         |  long[] $mins = new long[$seedsRef.length];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long $base;
+         |    if ($arr.isNullAt($j)) {
+         |      $base = 42L;
+         |    } else {
+         |      org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($j);
+         |      $base = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |    }
+         |    for (int $i = 0; $i < $seedsRef.length; $i++) {
+         |      long $v = $xxh.hashLong($base, $seedsRef[$i]);
+         |      if ($v < $mins[$i]) $mins[$i] = $v;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinhashSignature =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session extension registering the vector expressions:
   * `.config("spark.sql.extensions", "graft.expr.GraftExtensions")`.
   */
@@ -305,6 +409,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HyperplaneBucketsAll].getName, "graft_hyperplane_buckets"),
       (children: Seq[Expression]) =>
         HyperplaneBucketsAll(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) => MinhashSignature(children(0), children(1))))
   }
 }
 

@@ -108,6 +108,30 @@ class ExprSpec extends AnyFunSuite {
     assert(!plan.contains("graft_dot"), "fused path must not expand a per-plane dot forest")
   }
 
+  test("graft_minhash == composed HOF one-hash signature (bit parity, incl. null shingle)") {
+    val df = Seq(
+      Seq("a b c", "b c d", "c d e"),
+      Seq("x"),
+      Seq[String](null, "a b c")          // null shingle contributes base = 42
+    ).toDF("sh")
+    def hofSig(numHashes: Int) = element_at(
+      transform(array(transform(col("sh"), s => xxhash64(s))), base =>
+        array((0 until numHashes).map { i =>
+          array_min(transform(base, h => xxhash64(lit(i), h)))
+        }: _*)),
+      1)
+    val fused = df.select(VectorFunctions.countIn(col("sh"), Seq()).as("z"), // keep plan shape varied
+        call_function("graft_minhash", col("sh"), lit(24)).as("sig"))
+      .select("sig").as[Seq[Long]].collect()
+    val hof = df.select(hofSig(24).as("sig")).as[Seq[Long]].collect()
+    assert(fused === hof)
+    // empty input mirrors array_min(empty) = null elements
+    val empty = Seq(Seq.empty[String]).toDF("sh")
+      .select(call_function("graft_minhash", col("sh"), lit(4)).as("sig"))
+      .as[Seq[Option[Long]]].head()
+    assert(empty === Seq(None, None, None, None))
+  }
+
   test("dot runs inside whole-stage codegen") {
     val df = spark.range(1000)
       .select(array((0 until 8).map(i => (col("id") * i).cast("double")): _*).as("v"))
