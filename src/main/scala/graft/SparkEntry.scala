@@ -599,6 +599,69 @@ object SparkEntry {
       graft.sources.CsvArtifacts.readTemplatesCsv(s, path)
     },
 
+    // P7 — drop-k-header-tokens projection over a reconstructed raw line
+    // (role + conv_id prepended as a 2-token header, then stripped back off).
+    "q_drop_header" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+      val line = concat_ws(" ", col("role"), col("conv_id"), col("text"))
+      t.select(col("conv_id"), col("turn_idx"),
+        graft.sources.RawLogs.dropHeaderTokens(line, 2).as("content"))
+    },
+
+    // P9 — data-quality guard: rows passing the predicate plus the count of
+    // excluded rows (the guard's metric output, carried as a column).
+    "q_quality_guard" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+      val pred = col("text").isNotNull && length(col("text")) >= 30 &&
+        col("turn_idx") >= 0
+      val (good, bad) = Features.qualityFilter(t, pred)
+      good.select(col("conv_id"), col("turn_idx"), col("text"))
+        .withColumn("bad_count", lit(bad))
+    },
+
+    // J3 — event→embedding join with the reference's default-on-miss vector
+    // ([-1]*dim); exploded to scalars for the compare (like q_sum_vectors).
+    "q_embed_default" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("doc_id"), col("embedding").as("vector"))
+      Enrich.embeddings(docs, vecs, dim = 64, eventCol = "doc_id")
+        .select(col("doc_id"), posexplode(col("vector")).as(Seq("pos", "x")))
+        .select(col("doc_id"), (col("pos") + 1).cast("int").as("dim"), col("x"))
+    },
+
+    // G13 — train-side dedup: each distinct session sequence exactly once.
+    "q_dedup_seq" -> { (s, dir) =>
+      val sessions = Windows.sessionGroup(parsed(s, dir))
+      Features.dedupSequences(sessions, "events")
+        .select(array_join(col("events"), " ").as("seq"))
+    },
+
+    // J7/U3 — count-matrix alignment: md5-split train/test conversations;
+    // test-side counts reindexed to the train event set, events unseen at
+    // train time (tool-role templates are excluded from train) folded into
+    // a per-conversation __oov__ bucket.
+    "q_align_counts" -> { (s, dir) =>
+      val p = parsed(s, dir)
+      val h = substring(md5(col("conv_id")), 1, 1)
+      val train = p.filter(h < "8" && col("role") =!= "tool")
+      val testCounts = p.filter(h >= "8")
+        .groupBy(col("conv_id"), col("event_id")).agg(count(lit(1)).as("cnt"))
+      Features.alignToTrainEvents(testCounts, train, Seq("conv_id"))
+    },
+
+    // T6 — log_format compiler: "<Role> <Conv>: <Content>" lines rebuilt
+    // from the transcripts, split back into columns by the compiled
+    // anchored regex (codegen'd regexp_extract, non-matches dropped).
+    "q_logformat" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+      val lines = t.select(concat(col("role"), lit(" "), col("conv_id"),
+        lit(": "), col("text")).as("line"))
+      val fmt = graft.parse.LogFormat.compile("<Role> <Conv>: <Content>")
+      graft.parse.LogFormat.split(lines, "line", fmt)
+    },
+
     // sanity: TPC-H-ish aggregate over lineitem.
     "q1_agg" -> { (s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -1205,6 +1268,51 @@ object SparkEntry {
          |  SELECT qid, cid, cosine,
          |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
          |  FROM scored)
-         |WHERE rank <= 5""".stripMargin
+         |WHERE rank <= 5""".stripMargin,
+
+    "q_drop_header" -> withT(
+      """SELECT conv_id, turn_idx,
+        |  array_to_string(regexp_split_to_array(trim(concat_ws(' ', role, conv_id, text)), '\s+')[3:], ' ') AS content
+        |FROM transcripts""".stripMargin),
+
+    "q_quality_guard" -> withT(
+      """SELECT conv_id, turn_idx, text,
+        |  (SELECT count(*) FROM transcripts
+        |   WHERE NOT (text IS NOT NULL AND length(text) >= 30 AND turn_idx >= 0)) AS bad_count
+        |FROM transcripts
+        |WHERE text IS NOT NULL AND length(text) >= 30 AND turn_idx >= 0""".stripMargin),
+
+    "q_embed_default" ->
+      """SELECT j.doc_id, CAST(gs AS INT) AS dim, vec[gs] AS x
+        |FROM (SELECT d.doc_id,
+        |        COALESCE(e.embedding, list_transform(range(64), i -> CAST(-1.0 AS REAL))) AS vec
+        |      FROM documents d
+        |      LEFT JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0) e
+        |        ON d.doc_id = e.vec_id) j,
+        |     UNNEST(generate_series(1, len(vec))) AS u(gs)""".stripMargin,
+
+    "q_dedup_seq" -> withP(
+      """, sess AS (
+        |  SELECT conv_id, string_agg(event_id, ' ' ORDER BY turn_idx) AS seq
+        |  FROM parsed GROUP BY 1)
+        |SELECT DISTINCT seq FROM sess""".stripMargin),
+
+    "q_align_counts" -> withP(
+      """, tr AS (SELECT DISTINCT event_id FROM parsed
+        |          WHERE substr(md5(conv_id), 1, 1) < '8' AND role <> 'tool'),
+        |tc AS (SELECT conv_id, event_id, count(*) AS cnt FROM parsed
+        |       WHERE substr(md5(conv_id), 1, 1) >= '8' GROUP BY 1, 2)
+        |SELECT tc.conv_id,
+        |       CASE WHEN tr.event_id IS NULL THEN '__oov__' ELSE tc.event_id END AS event_id,
+        |       CAST(sum(tc.cnt) AS BIGINT) AS cnt
+        |FROM tc LEFT JOIN tr ON tc.event_id = tr.event_id
+        |GROUP BY 1, 2""".stripMargin),
+
+    "q_logformat" -> withT(
+      """SELECT regexp_extract(l, '^(.*?)\s+(.*?)\:\s+(.*?)$', 1) AS Role,
+        |       regexp_extract(l, '^(.*?)\s+(.*?)\:\s+(.*?)$', 2) AS Conv,
+        |       regexp_extract(l, '^(.*?)\s+(.*?)\:\s+(.*?)$', 3) AS Content
+        |FROM (SELECT trim(role || ' ' || conv_id || ': ' || text) AS l FROM transcripts)
+        |WHERE regexp_matches(l, '^(.*?)\s+(.*?)\:\s+(.*?)$')""".stripMargin)
   )
 }
