@@ -662,6 +662,27 @@ object SparkEntry {
       graft.parse.LogFormat.split(lines, "line", fmt)
     },
 
+    // J4 — vocab encode with cosine-similarity fallback: 3 known events
+    // (vec_id 0-2 → ids 1-3, insertion-ordered Map3 so the scan order is
+    // pinned); every other row falls back to the most-similar known id when
+    // cosine > 0.2, else unk (0). Exactly oracle-able because DuckDB's
+    // list_dot_product matches the JVM's sequential double fold bit-for-bit
+    // (the same property the LSH hyperplane-CTE oracles rest on).
+    "q_encode_fallback" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vector"))
+      val known: Map[String, (Int, Array[Double])] =
+        emb.filter(col("vec_id") < 3).collect().map { r =>
+          (r.getLong(0).toString,
+            ((r.getLong(0) + 1).toInt, r.getSeq[Double](1).toArray))
+        }.sortBy(_._2._1).foldLeft(Map.empty[String, (Int, Array[Double])])(_ + _)
+      Preprocessing.encodeWithSimilarityFallback(
+          emb.withColumn("event", col("vec_id").cast("string")),
+          "event", known, minSim = 0.2)
+        .select(col("vec_id"), col("vocab_id"))
+    },
+
     // sanity: TPC-H-ish aggregate over lineitem.
     "q1_agg" -> { (s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -1307,6 +1328,28 @@ object SparkEntry {
         |       CAST(sum(tc.cnt) AS BIGINT) AS cnt
         |FROM tc LEFT JOIN tr ON tc.event_id = tr.event_id
         |GROUP BY 1, 2""".stripMargin),
+
+    "q_encode_fallback" ->
+      """WITH known AS (
+        |  SELECT vec_id AS korder, CAST(vec_id + 1 AS INT) AS kid,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS kv
+        |  FROM embeddings WHERE vec_id < 3),
+        |base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sims AS (
+        |  SELECT b.vec_id, k.kid, k.korder,
+        |         list_dot_product(k.kv, b.v)
+        |           / (sqrt(list_dot_product(k.kv, k.kv)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+        |  FROM base b, known k WHERE b.vec_id >= 3),
+        |best AS (
+        |  SELECT vec_id, kid, sim,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, korder ASC) AS rn
+        |  FROM sims)
+        |SELECT korder AS vec_id, kid AS vocab_id FROM known
+        |UNION ALL
+        |SELECT vec_id, CASE WHEN sim > 0.2 THEN kid ELSE 0 END AS vocab_id
+        |FROM best WHERE rn = 1""".stripMargin,
 
     "q_logformat" -> withT(
       """SELECT regexp_extract(l, '^(.*?)\s+(.*?)\:\s+(.*?)$', 1) AS Role,
