@@ -36,14 +36,21 @@ object Dedup {
     * whitespace yields an empty first token and a phantom shingle.
     */
   def shingles(textCol: Column, n: Int): Column =
-    element_at(
-      transform(array(split(trim(textCol), "\\s+")), toks =>
-        array_distinct(
-          filter(
-            transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-              i => when(i + n <= size(toks), array_join(slice(toks, i + 1, lit(n)), " "))),
-            x => x.isNotNull))),
-      1)
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) if graft.expr.VectorFunctions.available(s) =>
+        // fused kernel ([[graft.expr.WordShingles]]) — the composed form's
+        // per-position lambdas evaluate INTERPRETED per row
+        call_function("graft_shingles", textCol, lit(n))
+      case _ =>
+        element_at(
+          transform(array(split(trim(textCol), "\\s+")), toks =>
+            array_distinct(
+              filter(
+                transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+                  i => when(i + n <= size(toks), array_join(slice(toks, i + 1, lit(n)), " "))),
+                x => x.isNotNull))),
+          1)
+    }
 
   /** Exact n-gram Jaccard near-dup pairs: candidate pairs share at least one
     * (sufficiently rare) shingle via an equi-join on the shingle key, then

@@ -387,6 +387,86 @@ case class MinhashSignature(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared row kernel for [[WordShingles]] — one method both the interpreted
+  * eval and the generated code call, so the two paths cannot diverge.
+  */
+object ShingleKernel {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** EXACTLY `array_distinct(filter(... split(trim(text), "\\s+") ...))` —
+    * SQL trim (0x20 only), Java-regex split with limit -1 (trailing empties
+    * KEPT, like Spark's `split`), positions 0..len-n joined with ' ',
+    * first-occurrence distinct.
+    */
+  def shingles(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val str0 = s.toString
+    var st = 0; var en = str0.length
+    while (st < en && str0.charAt(st) == ' ') st += 1
+    while (en > st && str0.charAt(en - 1) == ' ') en -= 1
+    val toks = ws.split(str0.substring(st, en), -1)
+    val last = toks.length - n
+    if (last < 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val out = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= last) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out.add(sb.toString)
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) {
+      arr(k) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next()); k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
+/** Distinct word n-gram shingles in ONE expression —
+  * `graft_shingles(text, n)` returns `array<string>`.
+  *
+  * Bit-identical to [[graft.dedup.Dedup.shingles]]'s composed form (ExprSpec
+  * pins it, including leading-tab / trailing-whitespace / duplicate /
+  * shorter-than-n edge cases). Exists because the composed form's
+  * per-position `sequence`/`slice`/`array_join` lambdas evaluate INTERPRETED
+  * per row (ArrayTransform is CodegenFallback) — the shingle stage measured
+  * ~60 µs/row, which at corpus scale is hundreds of CPU-hours per 10^10
+  * documents; the kernel is one compiled call.
+  */
+case class WordShingles(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+
+  override def inputTypes = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_shingles requires a literal n argument")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val n: Int = right.eval().asInstanceOf[Int]
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleKernel.shingles(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, _) =>
+      s"${ev.value} = graft.expr.ShingleKernel.shingles($s, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordShingles =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session extension registering the vector expressions:
   * `.config("spark.sql.extensions", "graft.expr.GraftExtensions")`.
   */
@@ -413,6 +493,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),
       (children: Seq[Expression]) => MinhashSignature(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => WordShingles(children(0), children(1))))
   }
 }
 

@@ -132,6 +132,33 @@ class ExprSpec extends AnyFunSuite {
     assert(empty === Seq(None, None, None, None))
   }
 
+  test("graft_shingles == composed HOF shingle chain (parity incl. whitespace edge cases)") {
+    val texts = Seq(
+      "user 8 clicked element 69",
+      "  leading and trailing  ",
+      "\tstarts with tab",          // SQL trim keeps the tab -> leading empty token
+      "ends with tab\t",            // limit -1 keeps the trailing empty token
+      "a a a a a",                  // duplicate shingles -> distinct
+      "two words",                  // shorter than n
+      "one",
+      "")
+    val df = texts.toDF("text")
+    def composed(n: Int) = element_at(
+      transform(array(split(trim(col("text")), "\\s+")), toks =>
+        array_distinct(
+          filter(
+            transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+              i => when(i + n <= size(toks), array_join(slice(toks, i + 1, lit(n)), " "))),
+            x => x.isNotNull))),
+      1)
+    for (n <- Seq(1, 2, 3)) {
+      val fused = df.select(call_function("graft_shingles", col("text"), lit(n)))
+        .as[Seq[String]].collect().toSeq
+      val hof = df.select(composed(n)).as[Seq[String]].collect().toSeq
+      assert(fused === hof, s"n=$n")
+    }
+  }
+
   test("dot runs inside whole-stage codegen") {
     val df = spark.range(1000)
       .select(array((0 until 8).map(i => (col("id") * i).cast("double")): _*).as("v"))
