@@ -1,0 +1,170 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared row kernel for the fingerprinting expressions — one method per
+  * operator that both the interpreted eval and generated code call.
+  *
+  * Replicates the composed column forms EXACTLY:
+  * normalization = `regexp_replace(lower(trim(text)), "\\s+", " ")` via the
+  * same UTF8String trim/toLowerCase and the same Java regex; gram slicing is
+  * CODE-POINT based like Spark's `substr`; hashes are lowercase-hex md5 of
+  * the UTF-8 bytes like Spark's `md5`; minima use binary string order like
+  * `array_min`/`least` on StringType (hex is ASCII, so String.compareTo
+  * agrees).
+  */
+object TextKernel {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hex = "0123456789abcdef".toCharArray
+
+  private def md5Hex(s: String): String = {
+    val d = md5Local.get()
+    d.reset()
+    val b = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hex((b(i) >> 4) & 0xF)
+      out(2 * i + 1) = hex(b(i) & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+
+  private def normalize(s: UTF8String): String =
+    ws.matcher(s.trim().toLowerCase.toString).replaceAll(" ")
+
+  /** [[graft.text.TextAnalysis.winnowFingerprints]]'s composed semantics:
+    * md5 of every k-code-point gram of the normalized text; per w-gram
+    * window the MINIMUM hash; distinct in first-occurrence order. Texts
+    * shorter than k fingerprint as [md5(norm)].
+    */
+  def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val norm = normalize(s)
+    val cps = norm.codePoints().toArray
+    val n = cps.length
+    if (n < k)
+      return new GenericArrayData(Array[Any](UTF8String.fromString(md5Hex(norm))))
+    val nh = n - k + 1
+    val hs = new Array[String](nh)
+    var i = 0
+    while (i < nh) { hs(i) = md5Hex(new String(cps, i, k)); i += 1 }
+    // windows j = 0 .. max(nh - w, 0); a window shorter than w (nh < w)
+    // still selects the min of what exists — same as slice past the end
+    val numWin = math.max(nh - w + 1, 1)
+    val out = new java.util.LinkedHashSet[String]()
+    var j = 0
+    while (j < numWin) {
+      var m = hs(j)
+      var t = j + 1
+      val end = math.min(j + w, nh)
+      while (t < end) { if (hs(t).compareTo(m) < 0) m = hs(t); t += 1 }
+      out.add(m)
+      j += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var p = 0
+    while (it.hasNext) { arr(p) = UTF8String.fromString(it.next()); p += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** [[graft.text.TextAnalysis.rollingMinFingerprint]]'s composed semantics:
+    * minimum md5 over all w-code-point windows of the normalized text
+    * (md5(norm) when shorter than w).
+    */
+  def rollingMin(s: UTF8String, w: Int): UTF8String = {
+    val norm = normalize(s)
+    val cps = norm.codePoints().toArray
+    val n = cps.length
+    if (n < w) return UTF8String.fromString(md5Hex(norm))
+    var m: String = null
+    var i = 0
+    val nh = n - w + 1
+    while (i < nh) {
+      val h = md5Hex(new String(cps, i, w))
+      if (m == null || h.compareTo(m) < 0) m = h
+      i += 1
+    }
+    UTF8String.fromString(m)
+  }
+}
+
+/** `graft_winnow(text, k, w)` → `array<string>` — TRUE winnowing
+  * fingerprints as one compiled kernel call. The composed column form
+  * evaluates one INTERPRETED md5 expression per k-gram per row inside
+  * `transform` lambdas (measured ~560 µs/row on the documents corpus);
+  * identical output (ExprSpec pins parity; the q_winnow DuckDB oracle
+  * passes unchanged).
+  */
+case class WinnowFingerprints(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!second.foldable || !third.foldable)
+      TypeCheckResult.TypeCheckFailure("graft_winnow requires literal k and w arguments")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val k: Int = second.eval().asInstanceOf[Int]
+  @transient private lazy val w: Int = third.eval().asInstanceOf[Int]
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    TextKernel.winnow(a.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, _, _) =>
+      s"${ev.value} = graft.expr.TextKernel.winnow($s, $k, $w);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): WinnowFingerprints =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `graft_rolling_min(text, w)` → `string` — the 1-fingerprint rolling
+  * minimum as one kernel call (composed form: one interpreted md5 per
+  * window position per row, ~400 µs/row).
+  */
+case class RollingMinFingerprint(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType, IntegerType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_rolling_min"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure("graft_rolling_min requires a literal w argument")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val w: Int = right.eval().asInstanceOf[Int]
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernel.rollingMin(a.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, _) =>
+      s"${ev.value} = graft.expr.TextKernel.rollingMin($s, $w);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RollingMinFingerprint =
+    copy(left = newLeft, right = newRight)
+}

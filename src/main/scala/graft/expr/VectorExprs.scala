@@ -497,6 +497,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       (children: Seq[Expression]) => WordShingles(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
+      (children: Seq[Expression]) =>
+        WinnowFingerprints(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_rolling_min"),
+      new ExpressionInfo(classOf[RollingMinFingerprint].getName, "graft_rolling_min"),
+      (children: Seq[Expression]) => RollingMinFingerprint(children(0), children(1))))
   }
 }
 

@@ -86,17 +86,23 @@ object TextAnalysis {
     * catch large overlapping chunks; [[winnowFingerprints]] is the real
     * per-window-minima winnow).
     */
-  def rollingMinFingerprint(text: Column, w: Int = 16): Column = {
-    // let-bind the normalized text (see Dedup.shingles): referencing the
-    // regexp_replace subtree inside the per-window lambda would re-run the
-    // regex once per window position
-    element_at(
-      transform(array(regexp_replace(lower(trim(text)), "\\s+", " ")), norm =>
-        when(length(norm) < w, md5(norm)).otherwise(
-          array_min(transform(sequence(lit(1), length(norm) - (w - 1)),
-            i => md5(norm.substr(i, lit(w))))))),
-      1)
-  }
+  def rollingMinFingerprint(text: Column, w: Int = 16): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) if graft.expr.VectorFunctions.available(s) =>
+        // fused kernel ([[graft.expr.RollingMinFingerprint]]) — the composed
+        // form runs one INTERPRETED md5 per window position per row
+        call_function("graft_rolling_min", text, lit(w))
+      case _ =>
+        // let-bind the normalized text (see Dedup.shingles): referencing the
+        // regexp_replace subtree inside the per-window lambda would re-run
+        // the regex once per window position
+        element_at(
+          transform(array(regexp_replace(lower(trim(text)), "\\s+", " ")), norm =>
+            when(length(norm) < w, md5(norm)).otherwise(
+              array_min(transform(sequence(lit(1), length(norm) - (w - 1)),
+                i => md5(norm.substr(i, lit(w))))))),
+          1)
+    }
 
   /** TRUE winnowing (Schleimer, Wilkerson & Aiken, SIGMOD'03 — public
     * algorithm): md5 hashes of all `k`-char grams of the whitespace-normalized
@@ -117,17 +123,24 @@ object TextAnalysis {
     * position carries it.
     */
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
-    element_at(
-      transform(array(regexp_replace(lower(trim(text)), "\\s+", " ")), norm =>
-        when(length(norm) < k, array(md5(norm))).otherwise(
-          element_at(
-            transform(
-              array(transform(sequence(lit(1), length(norm) - (k - 1)),
-                i => md5(norm.substr(i, lit(k))))),
-              hs =>
-                array_distinct(
-                  transform(sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
-                    j => array_min(slice(hs, j, lit(w)))))),
-            1))),
-      1)
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) if graft.expr.VectorFunctions.available(s) =>
+        // fused kernel ([[graft.expr.WinnowFingerprints]]) — the composed
+        // form runs one INTERPRETED md5 per k-gram per row
+        call_function("graft_winnow", text, lit(k), lit(w))
+      case _ =>
+        element_at(
+          transform(array(regexp_replace(lower(trim(text)), "\\s+", " ")), norm =>
+            when(length(norm) < k, array(md5(norm))).otherwise(
+              element_at(
+                transform(
+                  array(transform(sequence(lit(1), length(norm) - (k - 1)),
+                    i => md5(norm.substr(i, lit(k))))),
+                  hs =>
+                    array_distinct(
+                      transform(sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
+                        j => array_min(slice(hs, j, lit(w)))))),
+                1))),
+          1)
+    }
 }

@@ -159,6 +159,49 @@ class ExprSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_winnow / graft_rolling_min == composed fingerprint chains (parity)") {
+    val texts = Seq(
+      "user 8 clicked element 69",
+      "User 8  CLICKED   element 69",   // case + multi-space normalization
+      "short",                          // < k
+      "12345678",                       // exactly k chars (k=8)
+      "aaaaaaaaaaaaaaaaaaaaaaaa",       // every gram identical -> 1 fingerprint
+      "  padded  ",
+      "")
+    val df = texts.toDF("text")
+    def composedWinnow(k: Int, w: Int) = element_at(
+      transform(array(regexp_replace(lower(trim(col("text"))), "\\s+", " ")), norm =>
+        when(length(norm) < k, array(md5(norm))).otherwise(
+          element_at(
+            transform(
+              array(transform(sequence(lit(1), length(norm) - (k - 1)),
+                i => md5(norm.substr(i, lit(k))))),
+              hs =>
+                array_distinct(
+                  transform(sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
+                    j => array_min(slice(hs, j, lit(w)))))),
+            1))),
+      1)
+    def composedRolling(w: Int) = element_at(
+      transform(array(regexp_replace(lower(trim(col("text"))), "\\s+", " ")), norm =>
+        when(length(norm) < w, md5(norm)).otherwise(
+          array_min(transform(sequence(lit(1), length(norm) - (w - 1)),
+            i => md5(norm.substr(i, lit(w))))))),
+      1)
+    for ((k, w) <- Seq((8, 4), (3, 2), (8, 100))) {
+      val fused = df.select(call_function("graft_winnow", col("text"), lit(k), lit(w)))
+        .as[Seq[String]].collect().toSeq
+      val hof = df.select(composedWinnow(k, w)).as[Seq[String]].collect().toSeq
+      assert(fused === hof, s"winnow k=$k w=$w")
+    }
+    for (w <- Seq(16, 4)) {
+      val fused = df.select(call_function("graft_rolling_min", col("text"), lit(w)))
+        .as[String].collect().toSeq
+      val hof = df.select(composedRolling(w)).as[String].collect().toSeq
+      assert(fused === hof, s"rolling w=$w")
+    }
+  }
+
   test("dot runs inside whole-stage codegen") {
     val df = spark.range(1000)
       .select(array((0 until 8).map(i => (col("id") * i).cast("double")): _*).as("v"))
