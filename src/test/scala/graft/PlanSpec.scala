@@ -110,6 +110,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!finalPlan(q).contains("CartesianProduct"))
   }
 
+  test("driver LSH/minhash/winnow queries take the FUSED expressions, not the composed fallbacks") {
+    // the fused kernels are 3-6x the composed forms (BASELINE.md round 3);
+    // a call site silently reverting to the fallback is a perf regression
+    // this test exists to catch
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb  = spark.read.parquet(s"$dir/embeddings.parquet")
+    val mh = finalPlan(graft.dedup.Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 24, 4, 0.3))
+    assert(mh.contains("graft_minhash"), "minhash query lost the fused signature")
+    assert(mh.contains("graft_shingles"), "minhash query lost the fused shingles")
+    val el = finalPlan(graft.dedup.Dedup.embeddingLshPairs(emb, "vec_id", "embedding", 0.35))
+    assert(el.contains("graft_hyperplane_buckets"), "embedding LSH lost the fused buckets")
+    assert(!el.contains("graft_dot(" + "transform"),
+      "embedding LSH re-expanded a per-plane dot forest")
+    val wn = finalPlan(docs.select(graft.text.TextAnalysis.winnowFingerprints(col("text"))))
+    assert(wn.contains("graft_winnow"), "winnowing lost the fused kernel")
+  }
+
   test("ivfTopK plans no full-corpus InMemoryRelation (hash-sampled quantizer)") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = graft.ann.Similarity.ivfTopK(emb, "vec_id", "embedding",
