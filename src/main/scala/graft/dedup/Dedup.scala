@@ -190,7 +190,17 @@ object Dedup {
   // pitfall (CLAUDE.md); Pattern is immutable + thread-safe, compile once.
   private val wsPattern = java.util.regex.Pattern.compile("\\s+")
 
-  val simhash64: Column => Column = {
+  val simhash64: Column => Column = { c =>
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) if graft.expr.VectorFunctions.available(s) =>
+        // native expression ([[graft.expr.SimhashFingerprint]]) — same
+        // kernel, no ScalaUDF row-conversion boundary, stays in codegen
+        call_function("graft_simhash", c)
+      case _ => simhashUdf(c)
+    }
+  }
+
+  private lazy val simhashUdf: Column => Column = {
     val f = udf { text: String =>
       if (text == null) 0L
       else {

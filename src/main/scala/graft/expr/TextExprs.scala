@@ -99,6 +99,74 @@ object TextKernel {
   }
 }
 
+/** SimHash kernel — EXACTLY [[graft.dedup.Dedup.simhash64]]'s UDF body:
+  * SQL-whitespace split (same cached `\s+` pattern semantics), per token a
+  * 64-bit hash from Scala MurmurHash3.stringHash of the token (high word)
+  * and its PLAIN CHAR reversal (low word — `StringOps.reverse`, not the
+  * surrogate-aware StringBuilder one), bit-count voting. The Python port in
+  * tools/check_oracle.py (supp_simhash) is the third lockstep twin.
+  */
+object SimhashKernel {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def simhash64(s: UTF8String): Long = {
+    val text = s.toString
+    val counts = new Array[Int](64)
+    ws.split(text.trim).foreach { tok =>
+      val rev = {
+        val a = tok.toCharArray
+        var i = 0; var j = a.length - 1
+        while (i < j) { val t = a(i); a(i) = a(j); a(j) = t; i += 1; j -= 1 }
+        new String(a)
+      }
+      val h = (scala.util.hashing.MurmurHash3.stringHash(tok).toLong << 32) |
+        (scala.util.hashing.MurmurHash3.stringHash(rev).toLong & 0xffffffffL)
+      var j = 0
+      while (j < 64) { if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1; j += 1 }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+}
+
+/** `graft_simhash(text)` → `long` — the SimHash fingerprint without the
+  * ScalaUDF boundary (no catalyst↔Scala row conversion, stays inside
+  * whole-stage codegen). NULL text fingerprints as 0L like the UDF form —
+  * the expression is therefore never-null.
+  */
+case class SimhashFingerprint(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+  import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+  import org.apache.spark.sql.types.LongType
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_simhash"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else SimhashKernel.simhash64(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        long ${ev.value} = ${c.isNull} ? 0L :
+          graft.expr.SimhashKernel.simhash64(${c.value});""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashFingerprint =
+    copy(child = newChild)
+}
+
 /** `graft_winnow(text, k, w)` → `array<string>` — TRUE winnowing
   * fingerprints as one compiled kernel call. The composed column form
   * evaluates one INTERPRETED md5 expression per k-gram per row inside

@@ -506,6 +506,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_rolling_min"),
       new ExpressionInfo(classOf[RollingMinFingerprint].getName, "graft_rolling_min"),
       (children: Seq[Expression]) => RollingMinFingerprint(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashFingerprint].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimhashFingerprint(children.head)))
   }
 }
 

@@ -202,6 +202,30 @@ class ExprSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_simhash == UDF simhash (bit parity incl. whitespace/empty edges)") {
+    val texts = Seq(
+      "user 8 clicked element 69",
+      "  padded   tokens  ",
+      "\ttab\tseparated\ttokens",
+      "palindrome abccba xyzzyx",
+      "x",
+      "")
+    val df = texts.toDF("text")
+    val fused = df.select(call_function("graft_simhash", col("text"))).as[Long].collect().toSeq
+    // the UDF twin, inlined (same hash chain the Python oracle ports)
+    val wsP = java.util.regex.Pattern.compile("\\s+")
+    val expected = texts.map { text =>
+      val counts = new Array[Int](64)
+      wsP.split(text.trim).foreach { tok =>
+        val h = (scala.util.hashing.MurmurHash3.stringHash(tok).toLong << 32) |
+          (scala.util.hashing.MurmurHash3.stringHash(tok.reverse).toLong & 0xffffffffL)
+        (0 until 64).foreach(j => if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1)
+      }
+      (0 until 64).foldLeft(0L)((acc, j) => if (counts(j) > 0) acc | (1L << j) else acc)
+    }
+    assert(fused === expected)
+  }
+
   test("dot runs inside whole-stage codegen") {
     val df = spark.range(1000)
       .select(array((0 until 8).map(i => (col("id") * i).cast("double")): _*).as("v"))
