@@ -226,6 +226,88 @@ class ExprSpec extends AnyFunSuite {
     assert(fused === expected)
   }
 
+  test("fuzz: fused text kernels == composed twins on 300 random whitespace-heavy strings") {
+    // seeded generator biased toward the nasty cases: runs of mixed
+    // whitespace, empty tokens, repeated tokens, case changes, punctuation
+    val rng = new scala.util.Random(20260817L)
+    val palette = "ab cd  e\tf\ng:HIJ.12 345 ab cd"
+    val texts = (0 until 300).map { _ =>
+      val len = rng.nextInt(60)
+      (0 until len).map(_ => palette(rng.nextInt(palette.length))).mkString
+    }
+    val df = texts.toDF("text")
+
+    def composedShingles(n: Int) = element_at(
+      transform(array(split(trim(col("text")), "\\s+")), toks =>
+        array_distinct(
+          filter(
+            transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+              i => when(i + n <= size(toks), array_join(slice(toks, i + 1, lit(n)), " "))),
+            x => x.isNotNull))),
+      1)
+    for (n <- Seq(1, 2, 3)) {
+      val fused = df.select(call_function("graft_shingles", col("text"), lit(n)))
+        .as[Seq[String]].collect().toSeq
+      val hof = df.select(composedShingles(n)).as[Seq[String]].collect().toSeq
+      assert(fused === hof, s"shingles n=$n")
+    }
+
+    def composedWinnow(k: Int, w: Int) = element_at(
+      transform(array(regexp_replace(lower(trim(col("text"))), "\\s+", " ")), norm =>
+        when(length(norm) < k, array(md5(norm))).otherwise(
+          element_at(
+            transform(
+              array(transform(sequence(lit(1), length(norm) - (k - 1)),
+                i => md5(norm.substr(i, lit(k))))),
+              hs =>
+                array_distinct(
+                  transform(sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
+                    j => array_min(slice(hs, j, lit(w)))))),
+            1))),
+      1)
+    val fusedW = df.select(call_function("graft_winnow", col("text"), lit(5), lit(3)))
+      .as[Seq[String]].collect().toSeq
+    val hofW = df.select(composedWinnow(5, 3)).as[Seq[String]].collect().toSeq
+    assert(fusedW === hofW, "winnow")
+
+    def composedRolling(w: Int) = element_at(
+      transform(array(regexp_replace(lower(trim(col("text"))), "\\s+", " ")), norm =>
+        when(length(norm) < w, md5(norm)).otherwise(
+          array_min(transform(sequence(lit(1), length(norm) - (w - 1)),
+            i => md5(norm.substr(i, lit(w))))))),
+      1)
+    val fusedR = df.select(call_function("graft_rolling_min", col("text"), lit(7)))
+      .as[String].collect().toSeq
+    val hofR = df.select(composedRolling(7)).as[String].collect().toSeq
+    assert(fusedR === hofR, "rolling-min")
+
+    def hofMinhash(numHashes: Int) = element_at(
+      transform(array(transform(call_function("graft_shingles", col("text"), lit(2)),
+        s => xxhash64(s))), base =>
+        array((0 until numHashes).map { i =>
+          array_min(transform(base, h => xxhash64(lit(i), h)))
+        }: _*)),
+      1)
+    val fusedM = df.select(call_function("graft_minhash",
+        call_function("graft_shingles", col("text"), lit(2)), lit(8)))
+      .as[Seq[Option[Long]]].collect().toSeq
+    val hofM = df.select(hofMinhash(8)).as[Seq[Option[Long]]].collect().toSeq
+    assert(fusedM === hofM, "minhash")
+
+    val wsP = java.util.regex.Pattern.compile("\\s+")
+    val fusedS = df.select(call_function("graft_simhash", col("text"))).as[Long].collect().toSeq
+    val expectedS = texts.map { text =>
+      val counts = new Array[Int](64)
+      wsP.split(text.trim).foreach { tok =>
+        val h = (scala.util.hashing.MurmurHash3.stringHash(tok).toLong << 32) |
+          (scala.util.hashing.MurmurHash3.stringHash(tok.reverse).toLong & 0xffffffffL)
+        (0 until 64).foreach(j => if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1)
+      }
+      (0 until 64).foldLeft(0L)((acc, j) => if (counts(j) > 0) acc | (1L << j) else acc)
+    }
+    assert(fusedS === expectedS, "simhash")
+  }
+
   test("dot runs inside whole-stage codegen") {
     val df = spark.range(1000)
       .select(array((0 until 8).map(i => (col("id") * i).cast("double")): _*).as("v"))
