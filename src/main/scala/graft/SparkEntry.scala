@@ -671,7 +671,7 @@ object SparkEntry {
     "q_encode_fallback" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("vector"))
+          col("embedding").cast("array<double>").as("vector"))
       val known: Map[String, (Int, Array[Double])] =
         emb.filter(col("vec_id") < 3).collect().map { r =>
           (r.getLong(0).toString,

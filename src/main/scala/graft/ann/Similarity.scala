@@ -16,7 +16,7 @@ object Similarity {
   /** Cast float vector to double + attach L2 norm. */
   private def withNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("id"),
-        transform(col(vecCol), x => x.cast("double")).as("v"))
+        col(vecCol).cast("array<double>").as("v"))
       .withColumn("norm", graft.expr.VectorFunctions.norm(col("v")))
 
   def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =

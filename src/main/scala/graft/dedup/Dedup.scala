@@ -342,7 +342,7 @@ object Dedup {
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                            tau: Double): DataFrame = {
     val v = df.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      col(vecCol).cast("array<double>").as("v"))
     val withNorm = v.withColumn("norm", graft.expr.VectorFunctions.norm(col("v")))
     withNorm.as("a").join(withNorm.as("b"), col("a.id") < col("b.id"))
       .withColumn("dot", graft.expr.VectorFunctions.dot(col("a.v"), col("b.v")))
@@ -369,7 +369,7 @@ object Dedup {
                         tau: Double, nPlanes: Int = 8, tables: Int = 8,
                         seed: Long = 42L, maxBucketSize: Int = 2000): DataFrame = {
     val v = df.select(col(idCol).as("id"),
-        transform(col(vecCol), x => x.cast("double")).as("v"))
+        col(vecCol).cast("array<double>").as("v"))
       .withColumn("norm", graft.expr.VectorFunctions.norm(col("v")))
     // empty corpus → empty pair set (detectDim has no row to read)
     val dimOpt = graft.ann.Similarity.detectDim(df, vecCol)
