@@ -179,7 +179,7 @@ object Similarity {
       else base.filter(pmod(xxhash64(col("id"), lit(seed)), lit(quantizerSampleMod)) === 0)
         .cache()
 
-    def nearestCentroid(cents: Array[(Int, Array[Double])]) = {
+    def nearestCentroidUdf(cents: Array[(Int, Array[Double])]) = {
       val bc = graft.util.Bc(spark.sparkContext.broadcast(cents))
       udf { v: Seq[Double] =>
         var best = -1; var bestD = Double.MaxValue
@@ -191,6 +191,14 @@ object Similarity {
         best
       }
     }
+    // the assignment pass runs over the FULL corpus — native expression when
+    // available (no per-row catalyst↔Scala conversion; cid = matrix index,
+    // which is exactly the stable array order the UDF scans)
+    def nearestCentroid(cents: Array[(Int, Array[Double])])(v: Column): Column =
+      if (graft.expr.VectorFunctions.available(spark))
+        call_function("graft_nearest_centroid", v,
+          typedlit(cents.map(_._2.toSeq).toSeq))
+      else nearestCentroidUdf(cents)(v)
 
     // deterministic init: the nLists sampled vectors with smallest
     // (hash(id, seed), id) — the id tie-break pins the order even under a

@@ -467,6 +467,81 @@ case class WordShingles(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest centroid by squared L2 — `graft_nearest_centroid(vec, matrix)`
+  * returns the INDEX of the closest row of the literal
+  * `array<array<double>>` matrix (strict first-minimum tie-break, the same
+  * scan order as the UDF it replaces). Exists because the IVF assignment
+  * pass runs over the FULL corpus — the UDF form paid a catalyst↔Scala
+  * conversion per row; this is a generated flat loop. Bit-identical distance
+  * arithmetic (`d += (v_i - c_i)^2` over the centroid's length, missing/null
+  * vector elements read as the lambda's boxed Seq did — vectors are
+  * null-free by contract and ExprSpec pins parity on that domain).
+  */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.types.IntegerType
+
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_nearest_centroid requires a literal centroid matrix")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val mat: Array[Array[Double]] = {
+    val arr = right.eval().asInstanceOf[ArrayData]
+    Array.tabulate(arr.numElements())(i => arr.getArray(i).toDoubleArray())
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    var best = -1; var bestD = Double.MaxValue
+    var c = 0
+    while (c < mat.length) {
+      val row = mat(c)
+      var d = 0.0; var i = 0
+      while (i < row.length) { val x = v.getDouble(i) - row(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("graftCentroids", mat, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, _) => {
+      val (c, i, d, x, row, best, bestD) =
+        (ctx.freshName("c"), ctx.freshName("i"), ctx.freshName("d"),
+         ctx.freshName("x"), ctx.freshName("row"), ctx.freshName("best"),
+         ctx.freshName("bestD"))
+      s"""
+         |int $best = -1;
+         |double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $matRef.length; $c++) {
+         |  double[] $row = $matRef[$c];
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $row.length; $i++) {
+         |    double $x = $v.getDouble($i) - $row[$i];
+         |    $d += $x * $x;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroid =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session extension registering the vector expressions:
   * `.config("spark.sql.extensions", "graft.expr.GraftExtensions")`.
   */
@@ -510,6 +585,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashFingerprint].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimhashFingerprint(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
+      (children: Seq[Expression]) => NearestCentroid(children(0), children(1))))
   }
 }
 
