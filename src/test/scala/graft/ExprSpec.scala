@@ -308,6 +308,40 @@ class ExprSpec extends AnyFunSuite {
     assert(fusedS === expectedS, "simhash")
   }
 
+  test("graft_nearest_centroid == boxed-UDF scan (first-minimum tie-break)") {
+    val rng = new scala.util.Random(5)
+    val dim = 16
+    val cents: Seq[Seq[Double]] =
+      (0 until 4).map(_ => Seq.fill(dim)(rng.nextDouble() * 2 - 1))
+    val df = (0 until 100).map(i => (i.toLong, Seq.fill(dim)(rng.nextDouble() * 2 - 1)))
+      .toDF("id", "v")
+    val centArr = cents.map(_.toArray).toArray
+    val viaUdf = udf { v: Seq[Double] =>
+      var best = -1; var bestD = Double.MaxValue
+      centArr.zipWithIndex.foreach { case (c, cid) =>
+        var d = 0.0; var i = 0
+        while (i < c.length) { val x = v(i) - c(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = cid }
+      }
+      best
+    }
+    val fused = df.select(col("id"),
+        call_function("graft_nearest_centroid", col("v"), typedlit(cents)).as("c"))
+      .as[(Long, Int)].collect().toMap
+    val boxed = df.select(col("id"), viaUdf(col("v")).as("c"))
+      .as[(Long, Int)].collect().toMap
+    assert(fused === boxed)
+    // duplicated centroid: the FIRST index must win (strict < tie-break)
+    val dup = cents.head +: cents
+    val tied = df.select(call_function("graft_nearest_centroid", col("v"), typedlit(dup)).as("c"))
+      .as[Int].collect()
+    val orig = df.select(call_function("graft_nearest_centroid", col("v"), typedlit(cents)).as("c"))
+      .as[Int].collect()
+    tied.zip(orig).foreach { case (t, o) =>
+      if (o == 0) assert(t == 0, "duplicate-first centroid must keep index 0")
+    }
+  }
+
   test("dot runs inside whole-stage codegen") {
     val df = spark.range(1000)
       .select(array((0 until 8).map(i => (col("id") * i).cast("double")): _*).as("v"))
