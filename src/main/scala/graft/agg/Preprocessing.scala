@@ -194,15 +194,23 @@ object Preprocessing {
       df: DataFrame, eventCol: String,
       known: Map[String, (Int, Array[Double])], minSim: Double = 0.9): DataFrame = {
     val spark = df.sparkSession
-    val bc = graft.util.Bc(spark.sparkContext.broadcast(known))
+    // the OOV scan iterates a PRE-SORTED (by id) array, not the Map: map
+    // iteration order is insertion order only up to 4 entries, so a larger
+    // vocabulary would make the strictly-greater tie-break nondeterministic
+    // across runs/JVMs. Sorted-by-id scan == the q_encode_fallback oracle's
+    // `ORDER BY sim DESC, korder ASC` for any vocabulary size. Sorted ONCE
+    // here, never per row.
+    val scanOrder: Array[(Int, Array[Double])] =
+      known.valuesIterator.toArray.sortBy(_._1)
+    val bc = graft.util.Bc(spark.sparkContext.broadcast((known, scanOrder)))
     val encode = udf { (e: String, vec: Seq[Double]) =>
-      bc.get.get(e).map(_._1).getOrElse {
+      bc.get._1.get(e).map(_._1).getOrElse {
         if (vec == null) 0
         else {
           val v = vec.toArray
           val nv = math.sqrt(v.map(x => x * x).sum)
           var bestId = 0; var bestSim = minSim
-          bc.get.foreach { case (_, (id, kv)) =>
+          bc.get._2.foreach { case (id, kv) =>
             val dot = kv.zip(v).map { case (a, b) => a * b }.sum
             val nk  = math.sqrt(kv.map(x => x * x).sum)
             val sim = if (nk * nv == 0) 0.0 else dot / (nk * nv)
