@@ -23,6 +23,10 @@ object Main {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // without the extension every fused kernel (LSH buckets, minhash,
+      // shingles, winnow, simhash, nearest-centroid) silently falls back to
+      // its 3-6x-slower composed form — register it in the submit entry too
+      .config("spark.sql.extensions", "graft.expr.GraftExtensions")
     // spark-submit sets spark.master; only default it for bare runMain
     val spark = (if (sys.props.contains("spark.master")) builder
                  else builder.master("local[*]")).getOrCreate()
