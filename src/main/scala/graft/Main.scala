@@ -18,15 +18,24 @@ object Main {
   def main(args: Array[String]): Unit = {
     val workDir = args.headOption.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-run").toString)
+    // without the extension every fused kernel (LSH buckets, minhash,
+    // shingles, winnow, simhash, nearest-centroid) silently falls back to
+    // its 3-6x-slower composed form — register it in the submit entry too.
+    // spark.sql.extensions is a comma-separated LIST: a user's own
+    // --conf spark.sql.extensions must be appended to, never replaced.
+    val userExts = sys.props.get("spark.sql.extensions").filter(_.nonEmpty)
+    val graftExt = "graft.expr.GraftExtensions"
+    val exts = userExts match {
+      case Some(e) if e.split(",").map(_.trim).contains(graftExt) => e
+      case Some(e) => s"$e,$graftExt"
+      case None => graftExt
+    }
     val builder = SparkSession.builder()
       .appName("graft-pipeline")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // without the extension every fused kernel (LSH buckets, minhash,
-      // shingles, winnow, simhash, nearest-centroid) silently falls back to
-      // its 3-6x-slower composed form — register it in the submit entry too
-      .config("spark.sql.extensions", "graft.expr.GraftExtensions")
+      .config("spark.sql.extensions", exts)
     // spark-submit sets spark.master; only default it for bare runMain
     val spark = (if (sys.props.contains("spark.master")) builder
                  else builder.master("local[*]")).getOrCreate()
@@ -38,8 +47,12 @@ object Main {
     val mineFraction = if (args.length > 2) args(2).toDouble else 1.0
 
     val res = Pipeline.run(spark, transcripts, workDir, mineFraction = mineFraction)
+    // "fused" lets tools/submit_smoke.sh assert the PRODUCTION entry resolves
+    // the Catalyst extension (a session without it silently runs the 3-6x
+    // slower composed fallbacks — the exact regression this field catches)
     println(s"""{"turns":${res.turns},"templates":${res.templates},""" +
       s""""windows":${res.windows},"count_vector_rows":${res.countVectorRows},""" +
+      s""""fused":${graft.expr.VectorFunctions.available(spark)},""" +
       s""""routes":${res.routes.map(m => s"""{"route":"${m.route}","rows":${m.rows}}""").mkString("[", ",", "]")}}""")
     spark.stop()
   }

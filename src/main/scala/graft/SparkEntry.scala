@@ -397,18 +397,22 @@ object SparkEntry {
 
     // exact trigram-Jaccard near-dup pairs (the LSH path's ground truth).
     "q_ngram_jaccard" -> { (s, dir) =>
+      // maxShingleDf = None pins the exact-baseline semantics the DuckDB
+      // oracle computes (the scale default is a Some(10000) hot-shingle cap)
       Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
-        "doc_id", "text", n = 3, tau = 0.3)
+        "doc_id", "text", n = 3, tau = 0.3, maxShingleDf = None)
     },
 
-    // MinHash+LSH near-dup pairs (approximate; verified in ScalaTest vs the
-    // exact pairs — no SQL oracle, DuckDB lacks xxhash64).
+    // MinHash+LSH near-dup pairs (approximate; ScalaTest checks recall vs
+    // the exact pairs; exact oracle = HashOracleSql.qMinhashLshSql, which
+    // re-derives XXH64 signatures + band buckets inside DuckDB SQL).
     "q_minhash_lsh" -> { (s, dir) =>
       Dedup.minhashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", n = 3, numHashes = 24, bands = 4, tau = 0.3)
     },
 
-    // SimHash fingerprints (no SQL oracle — hash not in DuckDB).
+    // SimHash fingerprints (oracle = HashOracleSql.qSimhashSql — Scala
+    // MurmurHash3.stringHash recomputed in DuckDB SQL).
     "q_simhash" -> { (s, dir) =>
       val d = s.read.parquet(s"$dir/documents.parquet")
       d.select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
@@ -428,11 +432,16 @@ object SparkEntry {
         "vec_id", "embedding", queryIds = (0L until 10L), k = 5)
     },
 
-    // IVF ANN (coarse-quantizer scale path; recall vs brute force in ScalaTest).
+    // IVF ANN (coarse-quantizer scale path; recall vs brute force in
+    // ScalaTest; exact oracle = HashOracleSql.qAnnIvfSql — the deterministic
+    // k-means unrolled in SQL).
     "q_ann_ivf" -> { (s, dir) =>
+      // quantizerSampleMod = 1 pins full-corpus training — the exact
+      // semantics the SQL/Python oracles recompute (auto would resolve to
+      // the same mod on this corpus size; the pin makes it explicit)
       Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"),
         "vec_id", "embedding", queryIds = (0L until 10L), k = 5,
-        nLists = 8, nProbe = 4, iters = 2)
+        nLists = 8, nProbe = 4, iters = 2, quantizerSampleMod = 1L)
     },
 
     // embedding-cosine near-dup pairs, brute-force SMALL-CORPUS BASELINE —
@@ -456,9 +465,9 @@ object SparkEntry {
         "vec_id", "embedding", tau = 0.35, nPlanes = 6, tables = 8)
     },
 
-    // SimHash near-dup PAIRS via the multi-index banded equi-join (exact for
-    // hamming ≤ k by pigeonhole; no SQL oracle — simhash not in DuckDB;
-    // ScalaTest checks exactness vs brute-force hamming).
+    // SimHash near-dup PAIRS via the multi-index banded equi-join — exact
+    // for hamming ≤ k by pigeonhole, so the SQL oracle is brute force over
+    // the SQL-recomputed fingerprints (HashOracleSql.qSimhashPairsSql).
     "q_simhash_pairs" -> { (s, dir) =>
       Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", maxHamming = 7)
@@ -569,7 +578,7 @@ object SparkEntry {
       val t = transcripts(s, dir)
       val labels = t.groupBy(col("conv_id"))
         .agg(max(when(col("role") === "tool", 1).otherwise(0)).as("label"))
-      val path = java.nio.file.Files.createTempDirectory("graft-csv-labels").toString
+      val path = csvWorkDir(s, "labels")
       graft.sources.CsvArtifacts.writeAnomalyLabelCsv(labels, path)
       Enrich.convLabels(t.select("conv_id", "turn_idx"),
         graft.sources.CsvArtifacts.readAnomalyLabelCsv(s, path))
@@ -581,7 +590,7 @@ object SparkEntry {
       val p = parsed(s, dir).select(
         col("conv_id").as("ConvId"), col("turn_idx").as("TurnIdx"),
         col("event_id").as("EventId"), col("event_template").as("EventTemplate"))
-      val path = java.nio.file.Files.createTempDirectory("graft-csv-struct").toString
+      val path = csvWorkDir(s, "structured")
       graft.sources.CsvArtifacts.writeStructuredCsv(p, path)
       graft.sources.CsvArtifacts.readStructuredCsv(s, path,
           "ConvId STRING, TurnIdx INT, EventId STRING, EventTemplate STRING")
@@ -593,7 +602,7 @@ object SparkEntry {
     // the reference's (EventId, EventTemplate, Occurrences) CSV shape.
     "q_csv_templates" -> { (s, dir) =>
       val dict = Drain.mine(transcripts(s, dir), "text", drainCfg)
-      val path = java.nio.file.Files.createTempDirectory("graft-csv-tmpl").toString
+      val path = csvWorkDir(s, "templates")
       graft.sources.CsvArtifacts.writeTemplatesCsv(
         s.createDataFrame(dict).select("event_id", "event_template", "occurrences"), path)
       graft.sources.CsvArtifacts.readTemplatesCsv(s, path)
@@ -691,6 +700,22 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
     }
   )
+
+
+  /** Work dir for the CSV round-trip artifacts (q_csv_*): honors the
+    * `graft.workdir` conf when set — Verify points it inside its own output
+    * directory, i.e. a path on the job filesystem that is cleaned up with
+    * the run — and falls back to ONE fixed per-JVM temp subdir otherwise
+    * (the writes are SaveMode.Overwrite, so repeated local runs reuse it
+    * instead of leaking a directory per invocation). On a multi-node
+    * cluster `graft.workdir` MUST point at shared storage: executors write
+    * their part files there and the read-back must see all of them.
+    */
+  private def csvWorkDir(s: SparkSession, name: String): String = {
+    val base = s.conf.getOption("graft.workdir").getOrElse(
+      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-csv-work")
+    s"$base/$name"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_transcripts" -> withT("SELECT * FROM transcripts"),
@@ -1356,6 +1381,17 @@ object SparkEntry {
         |       regexp_extract(l, '^(.*?)\s+(.*?)\:\s+(.*?)$', 2) AS Conv,
         |       regexp_extract(l, '^(.*?)\s+(.*?)\:\s+(.*?)$', 3) AS Content
         |FROM (SELECT trim(role || ' ' || conv_id || ': ' || text) AS l FROM transcripts)
-        |WHERE regexp_matches(l, '^(.*?)\s+(.*?)\:\s+(.*?)$')""".stripMargin)
+        |WHERE regexp_matches(l, '^(.*?)\s+(.*?)\:\s+(.*?)$')""".stripMargin),
+
+    // The four hash queries, recomputed ENTIRELY inside DuckDB SQL (XXH64,
+    // MurmurHash3.stringHash, the IVF k-means) — [[graft.oracle.HashOracleSql]].
+    // Parameters must mirror the `queries` call sites above; the Python ports
+    // in tools/check_oracle.py stay as a third cross-check.
+    "q_simhash" -> graft.oracle.HashOracleSql.qSimhashSql,
+    "q_simhash_pairs" -> graft.oracle.HashOracleSql.qSimhashPairsSql(maxHamming = 7),
+    "q_minhash_lsh" -> graft.oracle.HashOracleSql.qMinhashLshSql(
+      n = 3, numHashes = 24, bands = 4, tau = 0.3, maxBucketSize = 500),
+    "q_ann_ivf" -> graft.oracle.HashOracleSql.qAnnIvfSql(
+      nLists = 8, nProbe = 4, iters = 2, seed = 42L, k = 5, nQueries = 10)
   )
 }

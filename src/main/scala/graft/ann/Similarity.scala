@@ -158,26 +158,57 @@ object Similarity {
     * sums overflow only past ~2^29 train rows per cluster — at that scale
     * `quantizerSampleMod` must bound the train set anyway.
     */
+  /** Quantizer train set bound used by the auto sampling mode (~256k rows —
+    * plenty for a coarse quantizer of ≤ thousands of lists, small enough to
+    * cache on one executor's worth of memory). */
+  val IvfAutoTrainTarget: Long = 1L << 18
+
+  /** AUTO quantizer sampling: order-of-magnitude row estimate from planner
+    * stats (NO job runs). rowCount is present under CBO / for exact sources;
+    * otherwise estimate from sizeInBytes at ~256 B/row (a 64-float embedding
+    * row) — being 4x off either way still lands the train set in a safe
+    * [64k, 1M] band, and tiny corpora resolve to mod=1 (full-corpus
+    * training, identical to the pinned oracle semantics). */
+  private[graft] def autoSampleMod(df: DataFrame): Long = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    val estRows: Long = stats.rowCount.map(_.toLong).getOrElse(
+      (stats.sizeInBytes / 256).toLong max 1L)
+    math.max(1L, estRows / IvfAutoTrainTarget)
+  }
+
   /** @param quantizerSampleMod hash-predicate quantizer sampling: the train
     *        set keeps rows with `xxhash64(id, seed) % mod == 0` — roughly a
     *        1/mod sample with NO count job and NO full-corpus cache (the
     *        round-2 form cached + counted the whole corpus just to size a
-    *        fraction — a full-table materialization at 10^12 rows). Default 1
-    *        trains on everything (small-corpus / oracle semantics unchanged);
-    *        at scale pass ~corpusRows/10^5. Only the (bounded) train set is
-    *        cached; the assignment pass streams the corpus uncached.
+    *        fraction — a full-table materialization at 10^12 rows).
+    *        Default 0 = AUTO (scale-safe): mod is derived from the planner's
+    *        size estimate so the train set is bounded at ~[[IvfAutoTrainTarget]]
+    *        rows — no job runs, and a 10^12-row corpus can NEVER be fed to
+    *        the per-iteration posexplode shuffle by omission. Pass `1` to
+    *        explicitly opt IN to full-corpus training (the q_ann_ivf oracle
+    *        path pins it — on the bounded test corpus auto resolves to the
+    *        same thing); pass >1 to pin an exact sampling rate.
+    *        The train set is always cached during the (eager, driver-side)
+    *        centroid training and unpersisted before the search plan is
+    *        built, so the search pass streams the corpus uncached.
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int, nLists: Int = 16, nProbe: Int = 4,
               iters: Int = 3, seed: Long = 42L,
-              quantizerSampleMod: Long = 1L): DataFrame = {
+              quantizerSampleMod: Long = 0L): DataFrame = {
     val spark = df.sparkSession
     val base  = withNorm(df, idCol, vecCol)
 
-    val trainSet =
-      if (quantizerSampleMod <= 1L) base
-      else base.filter(pmod(xxhash64(col("id"), lit(seed)), lit(quantizerSampleMod)) === 0)
-        .cache()
+    val effectiveMod: Long =
+      if (quantizerSampleMod >= 1L) quantizerSampleMod else autoSampleMod(df)
+
+    // cached for the duration of training only: the init collect + each
+    // k-means iteration re-reads it (iters+2 passes); unpersisted below
+    // BEFORE the search plan is built, so the search never scans a cache
+    val trainSet = (
+      if (effectiveMod <= 1L) base
+      else base.filter(pmod(xxhash64(col("id"), lit(seed)), lit(effectiveMod)) === 0)
+    ).cache()
 
     def nearestCentroidUdf(cents: Array[(Int, Array[Double])]) = {
       val bc = graft.util.Bc(spark.sparkContext.broadcast(cents))
@@ -229,8 +260,9 @@ object Similarity {
       centroids = centroids.map { case (cid, old) => (cid, byId.getOrElse(cid, old)) }
     }
     // centroid training is entirely eager (driver-side collects) — the train
-    // cache is dead weight from here on; the search plan below never uses it
-    if (quantizerSampleMod > 1L) trainSet.unpersist(false)
+    // cache is dead weight from here on; unpersisting BEFORE the search plan
+    // is built keeps InMemoryRelation out of the search path entirely
+    trainSet.unpersist(false)
 
     val assigned = base.withColumn("cluster", nearestCentroid(centroids)(col("v")))
     // query → its nProbe nearest centroid lists (distance to centroid, tiny)

@@ -63,12 +63,18 @@ object Dedup {
     * df·(df-1)/2 ≤ cap². Recall-safe for near-dup detection: a pair at
     * Jaccard ≥ tau shares ≥ tau/(1+tau)·|A∪B| shingles, and hot shingles are
     * by definition non-discriminative — true near-dups still meet on their
-    * rare shingles. `None` (default) keeps the exact-baseline semantics the
-    * DuckDB oracle checks.
+    * rare shingles.
+    *
+    * The guard is ON by default (`Some(10000)`): an uncapped self-join on one
+    * stop-shingle shared by 10⁶ docs is 10¹² candidate rows — the default
+    * must be the plan that survives corpus scale. Pass `None` ONLY for
+    * exact-baseline semantics on a bounded corpus (the q_ngram_jaccard
+    * oracle pins it explicitly; on the test corpus no shingle approaches the
+    * cap, so the outputs coincide).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, tau: Double,
-                        maxShingleDf: Option[Long] = None): DataFrame = {
+                        maxShingleDf: Option[Long] = Some(10000L)): DataFrame = {
     val docs = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
     val sh = docs.select(col("id"), explode(col("sh")).as("s"))

@@ -1,0 +1,349 @@
+package graft.oracle
+
+/** DuckDB SQL oracles for the four hash-based queries the driver's gate
+  * previously recorded `no_oracle` (q_simhash, q_simhash_pairs,
+  * q_minhash_lsh, q_ann_ivf): XXH64, Scala MurmurHash3.stringHash and the
+  * IVF k-means-lite recomputed INSIDE DuckDB SQL, so the cross-engine
+  * compare is driver-visible instead of living only in the repo's Python
+  * ports (`tools/check_oracle.py` keeps those as a third lockstep twin and
+  * still cross-checks them against these SQL results).
+  *
+  * Arithmetic notes (the round-3 `planeWeightsSqlCte` technique, hardened):
+  *  - 64-bit wrap-around arithmetic runs in HUGEINT with `& 2^64-1` masks and
+  *    `>>`/`<<` shifts — NOT `%`/`//`: HUGEINT division is a 128-bit divide
+  *    and measured ~25x slower; bitwise ops are checked bit-identical.
+  *  - DuckDB binds `&`/`<<` LOOSER than `+`/`*` (PostgreSQL precedence), so
+  *    every emitted subexpression is fully parenthesized.
+  *  - hash chains are emitted as NESTED SUBQUERIES (one step = one projection
+  *    level), never lateral column aliases: DuckDB expands lateral aliases by
+  *    textual substitution, which re-expands each reference and makes a
+  *    15-step chain exponential (the naive form never finished binding).
+  *
+  * Scope: exact for the printable-ASCII corpus the generator emits (code
+  * point == UTF-16 unit == byte). Java `\s` includes `\x0B`, RE2's does not,
+  * and `unicode()` reads code points, not UTF-16 units — texts with `\x0B`
+  * or non-ASCII would need a different byte path. tools/check_oracle.py's
+  * Python ports carry the exact-JVM semantics for those edges.
+  *
+  * Lockstep twins: [[graft.dedup.Dedup.simhash64]] /
+  * [[graft.expr.SimhashKernel]] (q_simhash), [[graft.dedup.Dedup.simhashPairs]]
+  * (pigeonhole-exact => brute-force hamming in SQL),
+  * [[graft.dedup.Dedup.minhashLshPairs]] + [[graft.expr.MinhashSignature]] /
+  * [[graft.expr.ShingleKernel]] (q_minhash_lsh),
+  * [[graft.ann.Similarity.ivfTopK]] (q_ann_ivf). Change those and these
+  * generators (and the Python ports) must move together.
+  */
+object HashOracleSql {
+  private val M    = "18446744073709551616" // 2^64
+  private val MASK = "18446744073709551615" // 2^64 - 1
+  private val P1 = BigInt("11400714785074694791") // 0x9E3779B185EBCA87
+  private val P2 = BigInt("14029467366897019727") // 0xC2B2AE3D27D4EB4F
+  private val P3 = BigInt("1609587929392839161")  // 0x165667B19E3779F9
+  private val P4 = BigInt("9650029242287828579")  // 0x85EBCA77C2B2AE63
+  private val P5 = BigInt("2870177450012600261")  // 0x27D4EB2F165667C5
+
+  private def xor64(a: String, b: String): String = s"xor(($a), ($b))"
+  private def shr(x: String, k: Int): String = s"(($x) >> $k)"
+
+  /** (a * b) mod 2^64 via 32-bit split — b constant, a any HUGEINT in [0,2^64). */
+  private def mulmod(a: String, b: BigInt): String = {
+    val lo = b % (BigInt(1) << 32)
+    s"((((($a) & 4294967295) * $b) + ((((($a) >> 32) * $lo) & 4294967295) << 32)) & $MASK)"
+  }
+
+  private def rotl(x: String, r: Int): String =
+    s"(((($x) << $r) & $MASK) + (($x) >> ${64 - r}))"
+
+  private def signed(x: String): String =
+    s"CAST(CASE WHEN ($x) >= 9223372036854775808 THEN ($x) - $M ELSE ($x) END AS BIGINT)"
+
+  /** base: `SELECT ... FROM ...`; steps: (col, expr-of-prior-cols). One
+    * projection level per step — see the lateral-alias blowup note above. */
+  private def nest(base: String, steps: Seq[(String, String)]): String =
+    steps.foldLeft(base) { case (sql, (name, expr)) =>
+      s"SELECT *, $expr AS $name FROM ($sql)"
+    }
+
+  private def fmixSteps(src: String, pfx: String): Seq[(String, String)] = Seq(
+    (s"${pfx}a", mulmod(xor64(src, shr(src, 33)), P2)),
+    (s"${pfx}b", mulmod(xor64(s"${pfx}a", shr(s"${pfx}a", 29)), P3)),
+    (s"${pfx}f", xor64(s"${pfx}b", shr(s"${pfx}b", 32))))
+
+  /** XXH64.hashLong(l, seed) -> col `{pfx}f`; l/seed must be col refs or literals. */
+  private def hashLongSteps(l: String, seed: String, pfx: String): Seq[(String, String)] = Seq(
+    (s"${pfx}0", s"((($seed) + ${P5 + 8}) & $MASK)"),
+    (s"${pfx}m", mulmod(l, P2)),
+    (s"${pfx}1", xor64(s"${pfx}0", mulmod(rotl(s"${pfx}m", 31), P1))),
+    (s"${pfx}2", s"((${mulmod(rotl(s"${pfx}1", 27), P1)} + $P4) & $MASK)")) ++
+    fmixSteps(s"${pfx}2", pfx)
+
+  /** 0-based byte `idx` of hex-string column `hs` as INT. */
+  private def byteAt(hs: String, idx: String): String =
+    s"CAST('0x' || substr($hs, CAST(2*($idx)+1 AS INT), 2) AS INT)"
+
+  private def w64(hs: String, off: String): String =
+    (0 until 8).map(j =>
+      s"CAST(${byteAt(hs, s"($off)+$j")} AS HUGEINT) * ${BigInt(1) << (8 * j)}")
+      .mkString("(", " + ", ")")
+
+  private def w32(hs: String, off: String): String =
+    (0 until 4).map(j =>
+      s"CAST(${byteAt(hs, s"($off)+$j")} AS HUGEINT) * ${BigInt(1) << (8 * j)}")
+      .mkString("(", " + ", ")")
+
+  /** XXH64 stripe round: rotl64(v + k*P2, 31) * P1 (mod 2^64). */
+  private def rnd(v: String, k: String): String =
+    mulmod(rotl(s"((($v) + ${mulmod(k, P2)}) & $MASK)", 31), P1)
+
+  private val SEED = 42
+  private def m64(b: BigInt): BigInt = b & ((BigInt(1) << 64) - 1)
+  private val V1 = m64(SEED + P1 + P2).toString
+  private val V2 = m64(SEED + P2).toString
+  private val V3 = SEED.toString
+  private val V4 = m64(SEED - P1).toString
+  private val H_SMALL = m64(SEED + P5).toString
+
+  /** SELECT producing (s, base) = (s, XXH64(utf8(s), 42) as unsigned HUGEINT)
+    * from `fromSql`, which must yield a column `s`. Bytes come from
+    * `hex(s)` — hex of the UTF-8 encoding, any content. */
+  private def xxh64StrSql(fromSql: String): String = {
+    def merge(h: String, v: String) =
+      s"(${mulmod(xor64(h, mulmod(rotl(mulmod(v, P2), 31), P1)), P1)} + $P4) & $MASK"
+    def tail8(h: String, k: String) =
+      s"(${mulmod(rotl(xor64(h, mulmod(rotl(mulmod(k, P2), 31), P1)), 27), P1)} + $P4) & $MASK"
+    def tail1(h: String, b: String) =
+      mulmod(rotl(xor64(h, s"(CAST($b AS HUGEINT) * $P5) & $MASK"), 11), P1)
+    val base = s"SELECT s, hex(s) AS hs, CAST(strlen(hex(s))//2 AS BIGINT) AS n FROM ($fromSql)"
+    val steps = Seq(
+      ("acc",
+        s"""list_reduce(list_prepend([CAST($V1 AS HUGEINT), $V2, $V3, $V4],
+           |  list_transform(range(0, n//32), st ->
+           |    [${w64("hs", "32*st")}, ${w64("hs", "32*st+8")}, ${w64("hs", "32*st+16")}, ${w64("hs", "32*st+24")}])),
+           |  (a, kw) -> [${rnd("a[1]", "kw[1]")}, ${rnd("a[2]", "kw[2]")}, ${rnd("a[3]", "kw[3]")}, ${rnd("a[4]", "kw[4]")}])""".stripMargin),
+      ("m0", s"(${rotl("acc[1]", 1)} + ${rotl("acc[2]", 7)} + ${rotl("acc[3]", 12)} + ${rotl("acc[4]", 18)}) & $MASK"),
+      ("m1", merge("m0", "acc[1]")),
+      ("m2", merge("m1", "acc[2]")),
+      ("m3", merge("m2", "acc[3]")),
+      ("m4", merge("m3", "acc[4]")),
+      ("h0", s"(CASE WHEN n >= 32 THEN m4 ELSE CAST($H_SMALL AS HUGEINT) END + n) & $MASK"),
+      ("h1",
+        s"""list_reduce(list_prepend(h0, list_transform(range(4*(n//32), n//8), wi -> ${w64("hs", "8*wi")})),
+           |  (h, k) -> ${tail8("h", "k")})""".stripMargin),
+      ("w3", s"CASE WHEN n % 8 >= 4 THEN ${w32("hs", "8*(n//8)")} ELSE 0 END"),
+      ("h2", s"CASE WHEN n % 8 >= 4 THEN (${mulmod(rotl(xor64("h1", s"(w3 * $P1) & $MASK"), 23), P2)} + $P3) & $MASK ELSE h1 END"),
+      ("h3",
+        s"""list_reduce(list_prepend(h2, list_transform(range(n - n%4, n), bi -> CAST(${byteAt("hs", "bi")} AS HUGEINT))),
+           |  (h, b) -> ${tail1("h", "b")})""".stripMargin)) ++
+      fmixSteps("h3", "x")
+    s"SELECT s, xf AS base FROM (${nest(base, steps)})"
+  }
+
+  /** SELECT producing (i, seed) = (i, XXH64.hashInt(i, 42)) for i < numh. */
+  private def hashIntSql(numh: Int): String = {
+    val h0 = m64(BigInt(42) + P5 + 4).toString
+    val base = s"SELECT i, (CAST(i AS HUGEINT) * $P1) & $MASK AS ip FROM range(0, $numh) r(i)"
+    val steps = Seq(
+      ("s0", rotl(xor64(h0, "ip"), 23)),
+      ("s1", s"(${mulmod("s0", P2)} + $P3) & $MASK")) ++ fmixSteps("s1", "s")
+    s"SELECT i, sf AS seed FROM (${nest(base, steps)})"
+  }
+
+  // ------------------------------------------------------------- murmur ---
+
+  /** Scala MurmurHash3 mixK: rotl32(k*c1, 15) * c2 (mod 2^32), UBIGINT. */
+  private def mixk(k: String): String = {
+    val kc1 = s"((CAST($k AS UBIGINT) * 3432918353) & 4294967295)"
+    val rotl15 = s"(((($kc1 * 32768) & 4294967295) + ($kc1 >> 17)))"
+    s"(($rotl15 * 461845907) & 4294967295)"
+  }
+
+  /** Murmur main-loop step: h := rotl32(h^k, 13)*5 + 0xe6546b64 (mod 2^32). */
+  private def mstep(h: String, k: String): String = {
+    val hx = s"xor($h, $k)"
+    val rotl13 = s"(((($hx * 8192) & 4294967295) + ($hx >> 19)))"
+    s"((($rotl13 * 5) + 3864292196) & 4294967295)"
+  }
+
+  /** Column chain for MurmurHash3.stringHash over `expr` (string), suffix
+    * `s` — needs a prior `L = strlen(tok)` column; ends in column `mm{s}`.
+    * This chain is SHORT/linear, so lateral aliases are safe here (each
+    * alias referenced at most twice). Seed 0xf7ca7fd2 = 4157243346;
+    * finalization constants 0x85ebca6b / 0xc2b2ae35. */
+  private def murmurChain(expr: String, s: String): String =
+    s"""
+       |      list_transform(range(0, L//2), i ->
+       |        ${mixk(s"(unicode(substr($expr, CAST(2*i+1 AS INT), 1))*65536 + unicode(substr($expr, CAST(2*i+2 AS INT), 1)))")}) AS ks$s,
+       |      list_reduce(list_prepend(CAST(4157243346 AS UBIGINT), ks$s), (h,k) -> ${mstep("h", "k")}) AS h0$s,
+       |      CASE WHEN L%2=1 THEN xor(h0$s, ${mixk(s"unicode(substr($expr, CAST(L AS INT), 1))")}) ELSE h0$s END AS h1$s,
+       |      xor(h1$s, CAST(L AS UBIGINT)) AS h2$s,
+       |      xor(h2$s, h2$s>> 16) AS f1$s,
+       |      (f1$s * 2246822507) & 4294967295 AS f2$s,
+       |      xor(f2$s, f2$s>> 13) AS f3$s,
+       |      (f3$s * 3266489909) & 4294967295 AS f4$s,
+       |      xor(f4$s, f4$s>> 16) AS mm$s""".stripMargin
+
+  /** Java String.trim trims chars <= 0x20; chr(0) cannot appear in a VARCHAR,
+    * so the trim set is 0x01..0x20 (identical on any real corpus). */
+  private val javaTrimSet: String =
+    "e'" + (1 to 0x20).map(i => f"\\x$i%02x").mkString + "'"
+
+  private val pow2List: String =
+    "[" + (0 until 64).map(j => (BigInt(1) << j).toString).mkString(",") + "]::HUGEINT[]"
+
+  /** CTE chain ending in fp(doc_id, simhash BIGINT) — the exact
+    * [[graft.expr.SimhashKernel]] fingerprint per document. */
+  private def simhashCte: String =
+    s"""toks AS (
+       |  SELECT doc_id, tok
+       |  FROM documents, UNNEST(regexp_split_to_array(trim(text, $javaTrimSet), '\\s+')) AS u(tok)
+       |  WHERE text IS NOT NULL),
+       |dtok AS (SELECT DISTINCT tok FROM toks),
+       |mm AS (
+       |  SELECT tok, mmF AS mh_fwd, mmR AS mh_rev FROM (
+       |    SELECT tok, strlen(tok) AS L,${murmurChain("tok", "F")},${murmurChain("reverse(tok)", "R")}
+       |    FROM dtok)),
+       |dochash AS (
+       |  SELECT t.doc_id, CAST(m.mh_fwd AS HUGEINT) * 4294967296 + CAST(m.mh_rev AS HUGEINT) AS h64
+       |  FROM toks t JOIN mm m USING (tok)),
+       |nt AS (SELECT doc_id, count(*) AS ntok FROM dochash GROUP BY 1),
+       |pw AS (SELECT $pow2List AS l),
+       |bits AS (
+       |  SELECT doc_id, j, sum(CASE WHEN (h64 & l[j+1]) <> 0 THEN 1 ELSE 0 END) AS ones
+       |  FROM dochash, range(0,64) r(j), pw GROUP BY 1, 2),
+       |fps AS (
+       |  SELECT b.doc_id, sum(CASE WHEN 2*b.ones > nt.ntok THEN l[CAST(j+1 AS INT)] ELSE 0 END) AS fpu
+       |  FROM bits b JOIN nt USING(doc_id), pw GROUP BY 1),
+       |fp AS (
+       |  SELECT d.doc_id,
+       |    CAST(CASE WHEN f.fpu >= 9223372036854775808 THEN f.fpu - $M
+       |              ELSE COALESCE(f.fpu, 0) END AS BIGINT) AS simhash
+       |  FROM documents d LEFT JOIN fps f USING(doc_id))""".stripMargin
+
+  /** q_simhash: per-document 64-bit SimHash fingerprint. */
+  def qSimhashSql: String =
+    s"WITH $simhashCte\nSELECT doc_id, simhash FROM fp"
+
+  /** q_simhash_pairs: Dedup.simhashPairs(maxHamming=7, unbounded buckets) is
+    * EXACT by the pigeonhole argument, so the oracle is plain brute force
+    * over the SQL fingerprints. */
+  def qSimhashPairsSql(maxHamming: Int): String =
+    s"""WITH $simhashCte
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
+
+  /** q_minhash_lsh: full re-derivation of Dedup.minhashLshPairs — shingles
+    * (`regexp_split_to_array(trim(text), '\s+')` is EXACTLY ShingleKernel's
+    * space-only trim + keep-empties split), one-hash MinHash signatures,
+    * band buckets via the xxhash64(array<long>) running-seed fold, bucket
+    * size guard, exact shingle-Jaccard verify. */
+  def qMinhashLshSql(n: Int, numHashes: Int, bands: Int, tau: Double,
+                     maxBucketSize: Int): String = {
+    val rpb = numHashes / bands
+    val bbBase =
+      s"SELECT doc_id, i // $rpb AS band, " +
+        (0 until rpb).map(j =>
+          s"(CAST(max(CASE WHEN i % $rpb = $j THEN sig END) AS HUGEINT) + $M) & $MASK AS e$j")
+          .mkString(", ") +
+        " FROM sigv GROUP BY 1, 2"
+    val bbSteps = (0 until rpb).foldLeft((Seq.empty[(String, String)], s"CAST($SEED AS HUGEINT)")) {
+      case ((steps, prev), j) => (steps ++ hashLongSteps(s"e$j", prev, s"b$j"), s"b${j}f")
+    }
+    val bucketSql =
+      s"SELECT doc_id, band, ${signed(bbSteps._2)} AS bucket FROM (${nest(bbBase, bbSteps._1)})"
+    val hvSql = nest("SELECT s, i, base, seed FROM xh, seeds",
+      hashLongSteps("base", "seed", "h"))
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+${n - 1}], ' ') AS s
+       |       FROM toks, UNNEST(range(1, len(t) - ${n - 2})) AS u(i)),
+       |dsh AS (SELECT DISTINCT s FROM sh),
+       |xh AS (${xxh64StrSql("SELECT s FROM dsh")}),
+       |seeds AS (${hashIntSql(numHashes)}),
+       |hv AS (SELECT s, i, ${signed("hf")} AS v FROM ($hvSql)),
+       |sigv AS (
+       |  SELECT sh.doc_id, hv.i, min(hv.v) AS sig
+       |  FROM sh JOIN hv USING (s) GROUP BY 1, 2),
+       |buckets AS ($bucketSql),
+       |keep AS (SELECT band, bucket FROM buckets GROUP BY 1, 2
+       |         HAVING count(*) > 1 AND count(*) <= $maxBucketSize),
+       |pruned AS (SELECT b.doc_id, b.band, b.bucket FROM buckets b JOIN keep USING (band, bucket)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM pruned a JOIN pruned b
+       |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS common
+       |          FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b AND x.s = y.s
+       |          GROUP BY 1, 2)
+       |SELECT id_a, id_b, round(common * 1.0 / (x.sz + y.sz - common), 4) AS jaccard
+       |FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+       |WHERE round(common * 1.0 / (x.sz + y.sz - common), 4) >= $tau""".stripMargin
+  }
+
+  /** q_ann_ivf: the whole deterministic IVF pipeline unrolled — hash-ranked
+    * init, `iters` k-means iterations with the floor(x*2^32) order-independent
+    * centroid mean, full-corpus assignment, nProbe nearest lists, exact
+    * cosine re-rank. Distances use a sequential list_reduce fold (the JVM's
+    * loop order); cosines use list_dot_product exactly like the green
+    * q_ann_brute oracle. */
+  def qAnnIvfSql(nLists: Int, nProbe: Int, iters: Int, seed: Long, k: Int,
+                 nQueries: Int): String = {
+    def seqSqDist(v: String, c: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(0, len($c)), i -> " +
+        s"(($v[i+1]) - ($c[i+1])) * (($v[i+1]) - ($c[i+1])))), (a, x) -> a + x)"
+    val hinit = nest(
+      nest("SELECT id, v, CAST(id AS HUGEINT) AS idh FROM v",
+        hashLongSteps("idh", "CAST(42 AS HUGEINT)", "p")),
+      hashLongSteps(s"CAST($seed AS HUGEINT)", "pf", "q"))
+    def assign(cents: String): String =
+      s"""
+         |  SELECT id, v, cid FROM (
+         |    SELECT b.id, b.v, c.cid,
+         |           row_number() OVER (PARTITION BY b.id ORDER BY ${seqSqDist("b.v", "c.c")}, c.cid) AS rn
+         |    FROM v b, $cents c) WHERE rn = 1""".stripMargin
+    def update(asg: String, prev: String): String =
+      s"""
+         |  SELECT p.cid, COALESCE(n.c, p.c) AS c FROM $prev p LEFT JOIN (
+         |    SELECT cid, list((CAST(s AS DOUBLE) / 4294967296.0) / CAST(cnt AS DOUBLE) ORDER BY dim) AS c
+         |    FROM (
+         |      SELECT a.cid, u.e.dim AS dim,
+         |             CAST(SUM(u.e.s) AS BIGINT) AS s, COUNT(*) AS cnt
+         |      FROM $asg a, UNNEST(list_transform(range(0, len(a.v)), i ->
+         |             struct_pack(dim := i, s := CAST(floor(a.v[i+1] * 4294967296.0) AS BIGINT)))) u(e)
+         |      GROUP BY 1, 2)
+         |    GROUP BY cid) n ON p.cid = n.cid""".stripMargin
+    val iterCtes = (1 to iters).flatMap { t =>
+      val prev = if (t == 1) "cents0" else s"cents${t - 1}"
+      Seq(s"asg$t AS (${assign(prev)})", s"cents$t AS (${update(s"asg$t", prev)})")
+    }
+    val last = s"cents$iters"
+    s"""WITH v AS (
+       |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |hinit AS (SELECT id, v, ${signed("qf")} AS h FROM ($hinit)),
+       |cents0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY h, id) AS INT) - 1 AS cid, v AS c
+       |  FROM hinit ORDER BY h, id LIMIT $nLists),
+       |${iterCtes.mkString(",\n")},
+       |asgF AS (${assign(last)}),
+       |n AS (SELECT id, sqrt(list_dot_product(v, v)) AS norm FROM v),
+       |q AS (SELECT a.id AS qid, a.v AS qv, n.norm AS qnorm
+       |      FROM asgF a JOIN n USING (id) WHERE a.id < $nQueries),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid,
+       |           row_number() OVER (PARTITION BY q.qid ORDER BY ${seqSqDist("q.qv", "c.c")}, c.cid) AS rn
+       |    FROM q, $last c) WHERE rn <= $nProbe),
+       |cand AS (
+       |  SELECT q.qid, b.id,
+       |         round(list_dot_product(q.qv, b.v) / (q.qnorm * n.norm), 4) AS cosine
+       |  FROM asgF b JOIN probes p ON b.cid = p.cid JOIN q ON q.qid = p.qid JOIN n ON n.id = b.id
+       |  WHERE b.id <> q.qid)
+       |SELECT qid, CAST(rank AS INT) AS rank, id AS neighbor_id, cosine FROM (
+       |  SELECT qid, id, cosine,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
+       |  FROM cand)
+       |WHERE rank <= $k""".stripMargin
+  }
+}

@@ -98,8 +98,20 @@ object Streaming {
     * conversation's rows per micro-batch, not by stream history: size
     * micro-batches (`maxFilesPerTrigger`/`maxOffsetsPerTrigger`) so a
     * pathological conversation's per-batch slice fits an executor, exactly
-    * like bounding `maxSessionTurns` bounds the batch aggregates. State
-    * itself stays O(1) per conversation (anchor_ts, session_idx). Output
+    * like bounding `maxSessionTurns` bounds the batch aggregates:
+    * {{{
+    * // file feeds: bound a trigger to one file (StreamingSpec runs this
+    * // adversarially — a conversation sliced across ~10 micro-batches)
+    * spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(in)
+    * // kafka feeds: bound a trigger by records instead
+    * //   .option("maxOffsetsPerTrigger", 500000)
+    * }}}
+    * Input contract: a source may split a conversation across any number of
+    * micro-batches, but must deliver its turns in order ACROSS batches
+    * (within a batch any order is fine — the primitive sort handles it);
+    * that is the natural arrival order of append-only logs and per-key
+    * Kafka partitions. State itself stays O(1) per conversation
+    * (anchor_ts, session_idx). Output
     * assignments stream lazily from the sorted arrays; nothing per-row is
     * materialized beyond them (state is finalized BEFORE the iterator is
     * returned, as the flatMapGroupsWithState contract requires).
@@ -118,8 +130,13 @@ object Streaming {
           val idx = idxB.result()
           val ts  = tsB.result()
           val n   = idx.length
-          // primitive sort by turn_idx: pack (turn_idx, position) into a Long
-          // (turn indices are non-negative ints → order-preserving)
+          // primitive sort by turn_idx: pack (turn_idx, position) into a Long.
+          // Correct for NEGATIVE turn indices too: `toLong` sign-extends, so
+          // x < 0 packs to a negative long and the signed Arrays.sort places
+          // it before every x >= 0 key; positions (always >= 0) occupy the
+          // low 32 bits without crossing into the index word. (A sign-bit
+          // flip before the shift would discard the sign extension and sort
+          // negatives AFTER positives — verified by test, do not "fix".)
           val order = new Array[Long](n)
           var i = 0
           while (i < n) { order(i) = (idx(i).toLong << 32) | i.toLong; i += 1 }

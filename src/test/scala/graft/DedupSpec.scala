@@ -33,7 +33,8 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("minhash LSH finds every exact-duplicate pair and most near-dups") {
-    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.7)
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.7,
+      maxShingleDf = None)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3,
       numHashes = 24, bands = 12, tau = 0.7)
@@ -114,7 +115,8 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("ngram Jaccard with hot-shingle cap: jaccard stays exact, exact-dup pairs survive") {
-    val uncapped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.7)
+    val uncapped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.7,
+      maxShingleDf = None)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
       .map(t => (t._1, t._2) -> t._3).toMap
     val capped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.7,

@@ -167,4 +167,26 @@ class PlanSpec extends AnyFunSuite {
       s"aggregate path fell out of whole-stage codegen:\n$plan")
     assert(plan.contains("partial_count"), "no map-side partial aggregation")
   }
+
+  test("scale-safe default: ngramJaccard ships the hot-shingle df cap unless opted out") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // default = Some(10000): the hot-shingle broadcast anti-join is in the plan
+    val guarded = finalPlan(
+      graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3))
+    assert(guarded.contains("LeftAnti"), s"default lost the hot-shingle guard:\n$guarded")
+    // the exact-baseline opt-out (the oracle path) carries no guard join
+    val exact = finalPlan(graft.dedup.Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", 3, 0.3, maxShingleDf = None))
+    assert(!exact.contains("LeftAnti"), "opt-out still plans the guard")
+  }
+
+  test("scale-safe default: IVF auto quantizer sampling bounds the train set") {
+    // tiny corpus -> mod 1 (full-corpus training == the pinned oracle path)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    assert(graft.ann.Similarity.autoSampleMod(emb) === 1L)
+    // a billion-row source must come out sampled WITHOUT running a job
+    val big = spark.range(1L << 30).toDF("id")
+    val mod = graft.ann.Similarity.autoSampleMod(big)
+    assert(mod > 1L, s"auto sampling left a 2^30-row quantizer train set (mod=$mod)")
+  }
 }

@@ -38,6 +38,25 @@ class SpellSpec extends AnyFunSuite {
     assert(mined.map(_.occurrences).sum === 1500L)
   }
 
+  test("Spell mine is invariant to partitioning (2 vs 16 partitions)") {
+    // the LCS merge is the most order-sensitive miner: partition-local trees
+    // see different row subsets, so only the canonical sorted merge keeps
+    // the result partitioning-independent — pin it like DrainSpec does
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val texts = (0 until 1200).map { _ =>
+      rng.nextInt(4) match {
+        case 0 => s"job ${rng.nextInt(100)} finished with code ${rng.nextInt(5)}"
+        case 1 => s"node ${rng.nextInt(30)} heartbeat missed at epoch ${rng.nextInt(10000)} retrying soon"
+        case 2 => s"queue drained ${rng.nextInt(500)} messages"
+        case _ => s"cache shard ${rng.nextInt(64)} evicted ${rng.nextInt(1000)} keys in ${rng.nextInt(90)} ms"
+      }
+    }
+    val a = Spell.mine(texts.toDF("text").repartition(2), "text", tau)
+    val b = Spell.mine(texts.toDF("text").repartition(16), "text", tau)
+    assert(a === b)
+  }
+
   test("Spell on events-derived transcripts converges to the 5 digit-masked templates") {
     val t = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
     val (parsed, dict) = Spell.parse(t, "text", tau)

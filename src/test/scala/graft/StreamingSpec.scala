@@ -177,4 +177,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(1000) === 1)
     assert(got(n - 1) === (n - 1) / 1000)
   }
+
+  test("streaming anchor sessions: NEGATIVE turn indices keep turn order (packed-key regression)") {
+    // the packed (turn_idx << 32 | pos) sort key sign-extends, so negative
+    // indices must sort BEFORE non-negative ones; a sign-bit-flip "fix"
+    // would reverse that — this pins the correct behavior end-to-end.
+    // Session boundary: ts jumps by >gap exactly at turn_idx 0, so the
+    // negative turns are session 0 and the rest session 1 IFF order is right.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-neg").toString
+    val rows = Seq(
+      ("cN", 2, 302000000L + 2000L), ("cN", -3, 0L), ("cN", 0, 302000000L),
+      ("cN", -1, 2000L), ("cN", 1, 302000000L + 1000L), ("cN", -2, 1000L))
+      .toDF("conv_id", "turn_idx", "ts_us")
+    rows.coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .parquet(s"$dir/in").as[Streaming.TurnEvent]
+    val q = Streaming.anchorSessionIds(stream, gapSec = 300)
+      .writeStream.format("memory").queryName("anchor_neg")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("anchor_neg")
+      .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+    assert(got === Map(-3 -> 0, -2 -> 0, -1 -> 0, 0 -> 1, 1 -> 1, 2 -> 1))
+  }
+
+  test("streaming anchor sessions: adversarially small micro-batches (maxFilesPerTrigger=1)") {
+    // the documented trigger-sizing knob: each micro-batch carries only a
+    // slice of every conversation, so the cross-batch AnchorState handoff is
+    // exercised ~10x per conversation; result must equal the batch twin.
+    // Slices are TURN-RANGE files written in arrival order (the operator's
+    // input contract: a source may split a conversation across any number of
+    // micro-batches, but must deliver its turns in order ACROSS them —
+    // within a batch any order is fine, the primitive sort handles it)
+    val dir = Files.createTempDirectory("graft-stream-tiny").toString
+    val t = Transcripts.synthetic(spark, 40, seed = 11L, partitions = 2)
+      .cache()
+    val maxIdx = t.agg(max(col("turn_idx"))).collect()(0).getInt(0)
+    val step = math.max(maxIdx / 10 + 1, 1)
+    (0 to maxIdx / step).foreach { k =>
+      t.filter(col("turn_idx") >= k * step && col("turn_idx") < (k + 1) * step)
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      Thread.sleep(25) // distinct modTimes pin the file-source batch order
+    }
+    t.unpersist()
+
+    val batch = graft.windows.Windows.anchorSessions(
+        spark.read.parquet(s"$dir/in"), gapSec = 300)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in")
+      .select(col("conv_id"), col("turn_idx"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .as[Streaming.TurnEvent]
+    val q = Streaming.anchorSessionIds(stream, gapSec = 300)
+      .writeStream.format("memory").queryName("anchor_tiny")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+
+    val got = spark.table("anchor_tiny")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(got === batch)
+  }
 }

@@ -14,7 +14,7 @@ centroid mean became order-independent (floor(x*2^32) integer sums): every
 float step now has a fixed op order both runtimes share, so supp_ann_ivf
 reproduces the Spark output bit-for-bit. NO query is spec-only any more.
 """
-import duckdb, json, sys, glob
+import duckdb, json, re, sys, glob
 import pandas as pd
 
 # ---------------------------------------------------------------- hashes ---
@@ -106,11 +106,22 @@ def scala_string_hash(s: str, seed: int = 0xf7ca7fd2) -> int:
 
 def signed32(u): return u - (1 << 32) if u >= (1 << 31) else u
 
+JAVA_TRIM = ''.join(chr(i) for i in range(0x21))  # String.trim: chars <= 0x20
+JAVA_WS = r'[ \t\n\x0b\f\r]+'  # Java regex \s (ASCII; Python \s is unicode-aware)
+
+def java_split_ws(s):
+    """Java s.split("\\s+") (limit 0): trailing empties removed, "" -> [""]."""
+    toks = re.split(JAVA_WS, s)
+    while len(toks) > 1 and toks[-1] == '':
+        toks.pop()
+    return toks
+
 def simhash64(text):
-    """graft.dedup.Dedup.simhash64's exact semantics."""
+    """graft.expr.SimhashKernel's exact semantics: Java trim (<= 0x20), Java
+    \s+ split — simhash64("") hashes ONE empty token, never 0."""
     if text is None: return 0
     counts = [0] * 64
-    for tok in text.strip().split():
+    for tok in java_split_ws(text.strip(JAVA_TRIM)):
         hi = signed32(scala_string_hash(tok))
         lo = scala_string_hash(tok[::-1])
         h = ((hi << 32) | lo) & M64
@@ -123,14 +134,45 @@ def simhash64(text):
 
 # -------------------------------------------- supplementary exact oracles ---
 def _shingles(text, n=3):
-    toks = text.strip().split()
+    """graft.expr.ShingleKernel's exact semantics: SPACE-only trim, Java
+    split with limit -1 (ALL empty tokens kept), first-occurrence distinct."""
+    toks = re.split(JAVA_WS, text.strip(' '))
     out, seen = [], set()
-    for i in range(max(len(toks) - n + 1, 0) + 1):
-        if i + n <= len(toks):
-            s = " ".join(toks[i:i+n])
-            if s not in seen:
-                seen.add(s); out.append(s)
+    for i in range(len(toks) - n + 1):
+        s = " ".join(toks[i:i+n])
+        if s not in seen:
+            seen.add(s); out.append(s)
     return out
+
+
+# ------------------------------------------- whitespace-edge fixtures ---
+# JVM ground truth (graft.expr.SimhashKernel / ShingleKernel, captured via
+# a scratch main; HashEdgeFixturesSpec pins the same constants JVM-side).
+# These fail loudly if the ports' tokenization drifts from the kernels.
+_EDGE_SIMHASH = {
+    "": 1623186167237621560,
+    " ": 1623186167237621560,
+    "\tfoo  bar ": 36172837473223106,
+    "a\x0bb": 2328396192264757248,
+    "x y x y": 2306265226510696449,
+    "  leading": -7380553930011554175,
+    "trailing  ": -5496704393787668268,
+    "one": 804238397367804588,
+}
+_EDGE_SHINGLES2 = {
+    "": [],
+    " ": [],
+    "\tfoo  bar ": [" foo", "foo bar"],
+    "a\x0bb": ["a b"],
+    "x y x y": ["x y", "y x"],
+    "  leading": [],
+    "trailing  ": [],
+    "one": [],
+}
+for _t, _v in _EDGE_SIMHASH.items():
+    assert simhash64(_t) == _v, f"simhash64 port drifted on {_t!r}: {simhash64(_t)} != {_v}"
+for _t, _v in _EDGE_SHINGLES2.items():
+    assert _shingles(_t, 2) == _v, f"_shingles port drifted on {_t!r}: {_shingles(_t, 2)} != {_v}"
 
 def supp_simhash(con):
     docs = con.execute("SELECT doc_id, text FROM documents").df()
@@ -320,8 +362,8 @@ if __name__ == "__main__":
         else: fail += 1
 
     for q, fn in sorted(SUPPLEMENTARY.items()):
-        if q in oracle:  # promoted to a SQL oracle since — skip the replica
-            continue
+        # run even when q also has a SQL oracle: the [py] pass guards the
+        # SQL CTE and the Scala kernel from drifting together
         files = glob.glob(f"{out}/{q}/*.parquet")
         if not files:
             continue
