@@ -8,28 +8,36 @@ import graft.pipeline.Pipeline
 
 /** Separate-JVM scaling evidence (round-3 verdict item 2): the 500M-turn
   * ScalingBench sample fell below the 0.8 bar (raw 0.43 / normalized 0.61)
-  * and the working hypothesis was "single 48 GiB JVM memory bandwidth / GC,
-  * not job serialization". This bench DEMONSTRATES it with Spark's
-  * `local-cluster[n, cores, memMB]` master — real separate executor JVMs on
-  * one box, the closest sandbox proxy to multi-executor clusters:
+  * with the 32-thread executor-CPU per turn DOUBLING vs the 8-thread level —
+  * attributed (but previously not demonstrated) to memory-bandwidth/GC
+  * pressure inside one 48 GiB executor JVM, an artifact a real N-executor
+  * cluster does not have.
   *
-  *   A: local-cluster[1,8,40960]  — ONE executor JVM, 8 cores, 40 GiB heap
-  *   B: local-cluster[4,2,10240]  — FOUR executor JVMs, 2 cores × 10 GiB
+  * This bench demonstrates it with Spark's `local-cluster[n, cores, memMB]`
+  * master — real separate executor JVMs on one box. THREE configs, same
+  * input, interleaved reps:
   *
-  * Same total cores, same total heap, same input, interleaved best-of-N.
-  * If B ≥ A at the large input while B ≈ A at the small control, the
-  * slowdown is attributable to sharing one big heap (GC + allocation
-  * bandwidth), i.e. an artifact the real N-executor deployment does not
-  * have — measured, not argued.
+  *   c8_1jvm   local-cluster[1,8,12288]  — the 8-core baseline level
+  *   c32_1jvm  local-cluster[1,32,49152] — 32 cores in ONE 48 GiB heap
+  *                                          (the deployment ScalingBench's
+  *                                          local[32] approximates)
+  *   c32_4jvm  local-cluster[4,8,12288]  — the SAME 32 cores as FOUR
+  *                                          8-core executors × 12 GiB
   *
-  * Run (tmpfs, ~30-50 min at the default ~230M turns; local-cluster workers
+  * Both 32-core configs see identical hardware and identical total heap; the
+  * only difference is one shared heap vs four. If the 8→32 efficiency with
+  * four JVMs recovers relative to the single-JVM config, the sub-bar 500M
+  * datapoint is explained by single-heap memory pressure — measured, not
+  * argued. An in-band spin calibration (8 vs 32 threads) still bounds what
+  * this overcommitted host can deliver at all.
+  *
+  * Run (tmpfs, ~35 min at the default ~230M turns; local-cluster workers
   * launch executors through `$SPARK_HOME/bin`, so both env vars are REQUIRED
   * — without SPARK_SCALA_VERSION the launcher dies with "Cannot find any
   * build directories"):
   *   SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 SPARK_DRIVER_MEM=16g \
   *     sbt -batch "runMain graft.JvmScalingBench"
-  * Smoke: add SPARK_GRAFT_JVMS_CONVS=20000 SPARK_GRAFT_JVMS_CONVS_SMALL=10000
-  *        SPARK_GRAFT_JVMS_REPS=1 SPARK_GRAFT_JVMS_MEM_MB=4096
+  * Smoke: add SPARK_GRAFT_JVMS_CONVS=20000 SPARK_GRAFT_JVMS_REPS=1
   */
 object JvmScalingBench {
 
@@ -46,7 +54,7 @@ object JvmScalingBench {
     * (spark-submit would inject them; a worker-spawned executor gets only
     * what we pass explicitly).
     */
-  private def session(master: String, execMem: String, tag: String): SparkSession = {
+  private def session(master: String, execMem: String, cores: Int, tag: String): SparkSession = {
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
       "java.base/java.lang.reflect", "java.base/java.io",
@@ -59,7 +67,7 @@ object JvmScalingBench {
     val s = SparkSession.builder()
       .master(master)
       .appName(s"graft-jvm-scaling-$tag")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -82,12 +90,29 @@ object JvmScalingBench {
     }
   }
 
+  /** Pure-CPU hardware calibration, same as ScalingBench. */
+  private def spinSeconds(nThreads: Int, reps: Int = 3): Double = {
+    val total = 6400000000L
+    val per   = total / nThreads
+    (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      val ts = Array.fill(nThreads)(new Thread(() => {
+        var x = 0.0; var j = 0L
+        while (j < per) { x += math.sqrt(j.toDouble); j += 1 }
+        if (x < 0) println("")
+      }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
+  final case class Cfg(tag: String, master: String, execMem: String, cores: Int)
+  final case class Run(turns: Long, wallSec: Double, cpuSec: Double)
+
   def main(args: Array[String]): Unit = {
     // ~18 turns/conv -> 12.8M convs ~= 230M turns (the verdict's >=229M bar)
-    val nConvLarge = sys.env.getOrElse("SPARK_GRAFT_JVMS_CONVS", "12800000").toInt
-    val nConvSmall = sys.env.getOrElse("SPARK_GRAFT_JVMS_CONVS_SMALL", "400000").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_JVMS_REPS", "2").toInt
-    val memMb = sys.env.getOrElse("SPARK_GRAFT_JVMS_MEM_MB", "40960").toInt
+    val nConv = sys.env.getOrElse("SPARK_GRAFT_JVMS_CONVS", "12800000").toInt
+    val reps  = sys.env.getOrElse("SPARK_GRAFT_JVMS_REPS", "2").toInt
 
     val base =
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
@@ -97,11 +122,16 @@ object JvmScalingBench {
     localDir = s"$base/spark-local"
 
     val configs = Seq(
-      ("one_jvm_8c",  s"local-cluster[1,8,$memMb]", s"${memMb - 1024}m"),
-      ("four_jvm_2c", s"local-cluster[4,2,${memMb / 4}]", s"${memMb / 4 - 512}m"))
+      Cfg("c8_1jvm",  "local-cluster[1,8,12288]",  "11g", 8),
+      Cfg("c32_1jvm", "local-cluster[1,32,49152]", "47g", 32),
+      Cfg("c32_4jvm", "local-cluster[4,8,12288]",  "11g", 32))
 
-    // generate inputs once (plain local mode)
-    val largeIn = s"$base/large"; val smallIn = s"$base/small"; val warmIn = s"$base/warm"
+    val spin8  = spinSeconds(8)
+    val spin32 = spinSeconds(32)
+    val hwSpeedup = spin8 / spin32
+    System.err.println(f"[jvms] hw calibration: spin8=$spin8%.2fs spin32=$spin32%.2fs speedup=$hwSpeedup%.2f (ideal 4.0)")
+
+    val input = s"$base/input"; val warmIn = s"$base/warm"
     locally {
       val s = SparkSession.builder().master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
@@ -109,52 +139,47 @@ object JvmScalingBench {
         .config("spark.local.dir", localDir)
         .config("spark.ui.enabled", "false").getOrCreate()
       s.sparkContext.setLogLevel("ERROR")
-      Transcripts.synthetic(s, nConvLarge, seed = 42L, partitions = 64)
-        .write.mode("overwrite").parquet(largeIn)
-      Transcripts.synthetic(s, nConvSmall, seed = 43L, partitions = 32)
-        .write.mode("overwrite").parquet(smallIn)
+      Transcripts.synthetic(s, nConv, seed = 42L, partitions = 64)
+        .write.mode("overwrite").parquet(input)
       Transcripts.synthetic(s, 20000, seed = 7L, partitions = 16)
         .write.mode("overwrite").parquet(warmIn)
       s.stop()
     }
 
-    final case class Run(turns: Long, wallSec: Double, cpuSec: Double)
-    def runOnce(cfg: (String, String, String), input: String, rep: Int): Run = {
-      val (tag, master, execMem) = cfg
-      val s = session(master, execMem, s"$tag-$rep")
+    def runOnce(cfg: Cfg, rep: Int): Run = {
+      val s = session(cfg.master, cfg.execMem, cfg.cores, s"${cfg.tag}-$rep")
       try {
-        Pipeline.run(s, s.read.parquet(warmIn), s"$base/wu-$tag-$rep") // JIT + executor spin-up
+        Pipeline.run(s, s.read.parquet(warmIn), s"$base/wu") // JIT + executor spin-up
         val l = new CpuListener
         s.sparkContext.addSparkListener(l)
         val t0 = System.nanoTime()
-        val res = Pipeline.run(s, s.read.parquet(input), s"$base/wk-$tag-$rep")
+        val res = Pipeline.run(s, s.read.parquet(input), s"$base/wk")
         val dt = (System.nanoTime() - t0) / 1e9
         s.sparkContext.removeSparkListener(l)
         require(res.routes.map(_.rows).sum == res.turns,
-          s"router conservation violated under $master")
-        System.err.println(f"[jvms] $tag rep $rep ${input.split('/').last}: " +
-          f"turns=${res.turns} wall=$dt%.2fs cpu=${l.cpuNs.get / 1e9}%.1fs")
+          s"router conservation violated under ${cfg.master}")
+        System.err.println(f"[jvms] ${cfg.tag} rep $rep: turns=${res.turns} " +
+          f"wall=$dt%.2fs cpu=${l.cpuNs.get / 1e9}%.1fs")
         Run(res.turns, dt, l.cpuNs.get / 1e9)
       } finally {
         s.stop()
-        rmrf(s"$base/wu-$tag-$rep"); rmrf(s"$base/wk-$tag-$rep")
+        rmrf(s"$base/wu"); rmrf(s"$base/wk")
       }
     }
 
-    // small control first (cheap), then the large A/B interleaved
-    val control = configs.map(c => c._1 -> runOnce(c, smallIn, 0)).toMap
-    val runs = (1 to reps).flatMap(r => configs.map(c => c._1 -> runOnce(c, largeIn, r)))
+    val runs = (1 to reps).flatMap(r => configs.map(c => c.tag -> runOnce(c, r)))
     def best(tag: String) = runs.collect { case (`tag`, r) => r }.minBy(_.wallSec)
 
-    val a = best("one_jvm_8c"); val b = best("four_jvm_2c")
-    val ca = control("one_jvm_8c"); val cb = control("four_jvm_2c")
-    val largeRatio = (a.turns / b.wallSec) / (a.turns / a.wallSec)
-    val smallRatio = (ca.turns / cb.wallSec) / (ca.turns / ca.wallSec)
+    val r8 = best("c8_1jvm"); val m32 = best("c32_1jvm"); val q32 = best("c32_4jvm")
+    val turns = r8.turns.toDouble
+    def eff(r: Run) = (turns / r.wallSec) / (turns / r8.wallSec) / 4.0
+    val effMono = eff(m32); val effQuad = eff(q32)
+    def cpuPerM(r: Run) = r.cpuSec / (turns / 1e6)
     println(
-      f"""{"metric":"jvm_scaling_ab","value":$largeRatio%.3f,"unit":"four_jvm_over_one_jvm_throughput",""" +
-      f""""large_turns":${a.turns},"small_turns":${ca.turns},"reps":$reps,""" +
-      f""""one_jvm_8c":{"large_sec":${a.wallSec}%.2f,"large_cpu_sec":${a.cpuSec}%.1f,"small_sec":${ca.wallSec}%.2f},""" +
-      f""""four_jvm_2c":{"large_sec":${b.wallSec}%.2f,"large_cpu_sec":${b.cpuSec}%.1f,"small_sec":${cb.wallSec}%.2f},""" +
-      f""""small_control_ratio":$smallRatio%.3f}""")
+      f"""{"metric":"jvm_scaling_ab","value":${effQuad / effMono}%.3f,"unit":"quad_over_mono_efficiency","turns":${r8.turns},"reps":$reps,""" +
+      f""""hw_cpu_speedup_8_to_32":$hwSpeedup%.2f,"hw_ceiling_efficiency":${hwSpeedup / 4.0}%.3f,""" +
+      f""""c8_1jvm":{"sec":${r8.wallSec}%.2f,"cpu_sec_per_1m_turns":${cpuPerM(r8)}%.1f},""" +
+      f""""c32_1jvm":{"sec":${m32.wallSec}%.2f,"cpu_sec_per_1m_turns":${cpuPerM(m32)}%.1f,"eff_raw":$effMono%.3f,"eff_normalized":${effMono * 4.0 / hwSpeedup}%.3f},""" +
+      f""""c32_4jvm":{"sec":${q32.wallSec}%.2f,"cpu_sec_per_1m_turns":${cpuPerM(q32)}%.1f,"eff_raw":$effQuad%.3f,"eff_normalized":${effQuad * 4.0 / hwSpeedup}%.3f}}""")
   }
 }
