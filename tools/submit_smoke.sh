@@ -29,3 +29,24 @@ esac
 TURNS=$(printf '%s' "$OUT" | sed -n 's/.*"turns":\([0-9]*\).*/\1/p')
 [ -n "$TURNS" ] && [ "$TURNS" -gt 0 ] || { echo "FAIL: no turns processed"; exit 1; }
 echo "OK: $TURNS turns through the submit path"
+
+# Second pass: SEPARATE executor JVMs (local-cluster). This catches what
+# local[N] structurally cannot: closure/broadcast serialization across real
+# process boundaries, the extension resolving inside worker-launched
+# executors, netty shuffle between processes.
+OUT2="$(SPARK_SCALA_VERSION=2.13 "/opt/spark/bin/spark-submit" \
+  --class graft.Main \
+  --master 'local-cluster[2,2,2048]' \
+  --conf spark.sql.shuffle.partitions=4 \
+  --conf spark.ui.enabled=false \
+  --conf spark.executor.memory=1536m \
+  "$JAR" "$WORK/run2" 2>"$WORK/submit2.log" | tail -1)" || {
+    tail -30 "$WORK/submit2.log"; exit 1; }
+echo "local-cluster output: $OUT2"
+case "$OUT2" in
+  *'"fused":true'*) echo "OK: fused kernels resolved across separate executor JVMs" ;;
+  *) echo "FAIL: extension did not resolve under local-cluster"; exit 1 ;;
+esac
+TURNS2=$(printf '%s' "$OUT2" | sed -n 's/.*"turns":\([0-9]*\).*/\1/p')
+[ "$TURNS2" = "$TURNS" ] || { echo "FAIL: local-cluster turns $TURNS2 != local $TURNS"; exit 1; }
+echo "OK: identical result ($TURNS2 turns) through 2 separate executor JVMs"
