@@ -98,7 +98,11 @@ object Bench {
       "embed_dedup_lsh"  -> SparkEntry.queries("q_embed_dedup_lsh"),
       "ann_brute"        -> SparkEntry.queries("q_ann_brute"),
       "lang_quality"     -> SparkEntry.queries("q_lang_quality"),
-      "q1_agg"           -> SparkEntry.queries("q1_agg")
+      "q1_agg"           -> SparkEntry.queries("q1_agg"),
+      // round-4 beyond-reference operators (baselines start this round)
+      "asof_enrich"      -> SparkEntry.queries("q_asof_enrich"),
+      "range_join"       -> SparkEntry.queries("q_range_join"),
+      "kmv_distinct"     -> SparkEntry.queries("q_kmv_distinct")
     )
     // best-of-2: the sandbox host shows 2-3× round-to-round CPU steal; the
     // minimum is the least-interfered estimate (see BASELINE.md methodology)

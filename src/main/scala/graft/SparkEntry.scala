@@ -403,6 +403,44 @@ object SparkEntry {
         "doc_id", "text", n = 3, tau = 0.3, maxShingleDf = None)
     },
 
+    // AS-OF join (beyond the reference's dict lookups): every turn gets the
+    // latest tool-turn at ts <= its own ts in the same conversation — the
+    // no-join-operator window formulation; oracle = DuckDB's native ASOF
+    // LEFT JOIN over the identical pre-aggregated update stream.
+    "q_asof_enrich" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+      val upd = t.filter(col("role") === "tool")
+        .groupBy(col("conv_id"), col("ts"))
+        .agg(max(col("turn_idx")).as("last_tool_turn"))
+      Enrich.asOfJoin(t.select("conv_id", "turn_idx", "ts"), upd,
+          Seq("conv_id"), "ts", Seq("last_tool_turn"))
+        .select("conv_id", "turn_idx", "last_tool_turn")
+    },
+
+    // RANGE (interval) join via time-bin equi-join — each tool turn opens a
+    // 300s window; count the turns inside it. The naive inequality join
+    // plans BroadcastNestedLoopJoin; the binned form is a plain equi-join
+    // (PlanSpec asserts it). Oracle = the naive inequality join in DuckDB.
+    "q_range_join" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+      val win = t.filter(col("role") === "tool")
+        .select(col("conv_id"), col("turn_idx").as("tool_turn"),
+          col("ts").as("t_start"),
+          (col("ts") + expr("INTERVAL 300 SECONDS")).as("t_end"))
+      Windows.rangeJoinBinned(
+          t.select("conv_id", "turn_idx", "ts"), win,
+          Seq("conv_id"), "ts", "t_start", "t_end", Seq("tool_turn"), binSec = 300)
+        .groupBy(col("conv_id"), col("tool_turn"))
+        .agg(count(lit(1)).as("n_in_window"))
+    },
+
+    // KMV bottom-k distinct sketch over document texts — deterministic by
+    // design so the DuckDB oracle recomputes it EXACTLY (unlike HLL).
+    "q_kmv_distinct" -> { (s, dir) =>
+      graft.agg.Sketches.kmvDistinct(
+        s.read.parquet(s"$dir/documents.parquet"), "text", k = 64)
+    },
+
     // MinHash+LSH near-dup pairs (approximate; ScalaTest checks recall vs
     // the exact pairs; exact oracle = HashOracleSql.qMinhashLshSql, which
     // re-derives XXH64 signatures + band buckets inside DuckDB SQL).
@@ -1387,6 +1425,27 @@ object SparkEntry {
     // MurmurHash3.stringHash, the IVF k-means) — [[graft.oracle.HashOracleSql]].
     // Parameters must mirror the `queries` call sites above; the Python ports
     // in tools/check_oracle.py stay as a third cross-check.
+    "q_asof_enrich" -> withT(
+      """, upd AS (
+        |  SELECT conv_id, ts, max(turn_idx) AS last_tool_turn
+        |  FROM transcripts WHERE role = 'tool' GROUP BY 1, 2)
+        |SELECT t.conv_id, t.turn_idx, u.last_tool_turn
+        |FROM transcripts t ASOF LEFT JOIN upd u
+        |  ON t.conv_id = u.conv_id AND t.ts >= u.ts""".stripMargin),
+
+    "q_range_join" -> withT(
+      """, w AS (
+        |  SELECT conv_id, turn_idx AS tool_turn, ts AS t0,
+        |         ts + INTERVAL 300 SECOND AS t1
+        |  FROM transcripts WHERE role = 'tool')
+        |SELECT w.conv_id, w.tool_turn, count(*) AS n_in_window
+        |FROM w JOIN transcripts t
+        |  ON t.conv_id = w.conv_id AND t.ts >= w.t0 AND t.ts <= w.t1
+        |GROUP BY 1, 2""".stripMargin),
+
+    "q_kmv_distinct" -> graft.oracle.HashOracleSql.qKmvDistinctSql(
+      "documents", "text", k = 64),
+
     "q_simhash" -> graft.oracle.HashOracleSql.qSimhashSql,
     "q_simhash_pairs" -> graft.oracle.HashOracleSql.qSimhashPairsSql(maxHamming = 7),
     "q_minhash_lsh" -> graft.oracle.HashOracleSql.qMinhashLshSql(

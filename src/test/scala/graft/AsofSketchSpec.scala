@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.agg.Sketches
+import graft.enrich.Enrich
+
+/** As-of join semantics + KMV sketch: correctness on hand-computable inputs
+  * and the plan shapes that make both scale (no join operator at all for
+  * as-of; no global sort for the sketch's top-k).
+  */
+class AsofSketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asOfJoin: latest update at ts <= event ts, per key, ties visible, null before first") {
+    val left = Seq(
+      ("a", 1, 5L), ("a", 2, 10L), ("a", 3, 15L), ("a", 4, 20L),
+      ("b", 1, 7L), ("c", 1, 100L))
+      .toDF("k", "idx", "ts")
+    val right = Seq(
+      ("a", 10L, "u1"), ("a", 18L, "u2"),
+      ("b", 8L, "late"), ("c", 100L, "exact"))
+      .toDF("k", "ts", "v")
+    val got = Enrich.asOfJoin(left, right, Seq("k"), "ts", Seq("v"))
+      .select("k", "idx", "v").as[(String, Int, String)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got === Map(
+      ("a", 1) -> null,     // before any update
+      ("a", 2) -> "u1",     // tie: update at ts==10 IS visible
+      ("a", 3) -> "u1",
+      ("a", 4) -> "u2",
+      ("b", 1) -> null,     // update arrives after the only event
+      ("c", 1) -> "exact")) // tie on the first update
+  }
+
+  test("asOfJoin carries multiple value columns and preserves left schema") {
+    val left  = Seq(("a", 1, 5L), ("a", 2, 9L)).toDF("k", "idx", "ts")
+    val right = Seq(("a", 6L, 42, "x")).toDF("k", "ts", "n", "s")
+    val out = Enrich.asOfJoin(left, right, Seq("k"), "ts", Seq("n", "s"))
+    assert(out.columns.toSeq === Seq("k", "idx", "ts", "n", "s"))
+    val rows = out.orderBy("idx").collect()
+    assert(rows(0).isNullAt(3) && rows(0).isNullAt(4))
+    assert(rows(1).getInt(3) === 42 && rows(1).getString(4) === "x")
+  }
+
+  test("asOfJoin plans NO join operator — one exchange, window-only") {
+    val left  = Seq(("a", 1, 5L)).toDF("k", "idx", "ts")
+    val right = Seq(("a", 6L, 1)).toDF("k", "ts", "n")
+    val plan = Enrich.asOfJoin(left, right, Seq("k"), "ts", Seq("n"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of should be join-free:\n$plan")
+    assert(plan.contains("Window"), "expected the running-last window")
+  }
+
+  test("kmvDistinct: exact below k, estimate within 3 stderr above k, deterministic") {
+    // below k: the sketch IS the exact count
+    val small = (0 until 40).map(i => s"doc-$i").toDF("text")
+    val exactRow = Sketches.kmvDistinct(small, "text", k = 64).collect()(0)
+    assert(exactRow.getLong(0) === 40L)
+    assert(exactRow.getDouble(2) === 40.0)
+    // above k: 5000 distinct values, k=64 -> stderr ~ 1/sqrt(62) ~ 12.7%
+    val big = (0 until 5000).map(i => s"value-$i").toDF("text")
+    val est = Sketches.kmvDistinct(big, "text", k = 64).collect()(0).getDouble(2)
+    assert(math.abs(est - 5000) / 5000 < 0.38, s"est=$est")
+    // duplicates don't change the sketch (distinct semantics)
+    val dup = big.union(big).union(big)
+    val estDup = Sketches.kmvDistinct(dup, "text", k = 64).collect()(0).getDouble(2)
+    assert(estDup === est)
+  }
+
+  test("rangeJoinBinned == brute-force interval containment; equi-join plan only") {
+    val rng = new scala.util.Random(5)
+    val events = (0 until 400).map(i =>
+      (s"k${rng.nextInt(4)}", i, new java.sql.Timestamp(rng.nextInt(100000).toLong * 1000)))
+    val ivals = (0 until 60).map { i =>
+      val t0 = rng.nextInt(90000).toLong * 1000
+      (s"k${rng.nextInt(4)}", i, new java.sql.Timestamp(t0),
+        new java.sql.Timestamp(t0 + rng.nextInt(20000).toLong * 1000))
+    }
+    val eDf = events.toDF("k", "eid", "ts")
+    val iDf = ivals.toDF("k", "iid", "t0", "t1")
+    val got = graft.windows.Windows.rangeJoinBinned(
+        eDf, iDf, Seq("k"), "ts", "t0", "t1", Seq("iid"), binSec = 7)
+      .select("eid", "iid").as[(Int, Int)].collect().toSet
+    val expected = (for {
+      (ek, eid, ts) <- events
+      (ik, iid, t0, t1) <- ivals
+      if ek == ik && !ts.before(t0) && !ts.after(t1)
+    } yield (eid, iid)).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty, "vacuous fixture")
+    val plan = graft.windows.Windows.rangeJoinBinned(
+      eDf, iDf, Seq("k"), "ts", "t0", "t1", Seq("iid"), binSec = 7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("kmvDistinct plans per-partition top-k (TakeOrdered), never a global sort") {
+    val df = (0 until 1000).map(i => s"v$i").toDF("text").repartition(8)
+    val plan = Sketches.kmvDistinct(df, "text", 32).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
+    assert(!plan.contains("Sort [") || plan.contains("TakeOrderedAndProject"),
+      s"global sort crept in:\n$plan")
+  }
+}
