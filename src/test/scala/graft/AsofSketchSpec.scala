@@ -69,6 +69,21 @@ class AsofSketchSpec extends AnyFunSuite {
     assert(estDup === est)
   }
 
+  test("asOfJoin is invariant to partitioning (2 vs 16 partitions)") {
+    val rng = new scala.util.Random(9)
+    val left = (0 until 500).map(i =>
+      (s"k${rng.nextInt(8)}", i, rng.nextInt(10000).toLong)).toDF("k", "idx", "ts")
+    val right = (0 until 120).map(i =>
+      (s"k${rng.nextInt(8)}", rng.nextInt(10000).toLong * 2, i)).toDF("k", "ts", "v")
+      .dropDuplicates("k", "ts") // unique (key, ts) per the documented contract
+    def run(n: Int) = Enrich.asOfJoin(
+        left.repartition(n), right.repartition(n), Seq("k"), "ts", Seq("v"))
+      .select("k", "idx", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (if (r.isNullAt(2)) -1 else r.getInt(2)))
+      .toMap
+    assert(run(2) === run(16))
+  }
+
   test("rangeJoinBinned == brute-force interval containment; equi-join plan only") {
     val rng = new scala.util.Random(5)
     val events = (0 until 400).map(i =>

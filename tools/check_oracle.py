@@ -312,7 +312,23 @@ def sum_seq(xs, f):
         s += f(x)
     return s
 
+def supp_kmv_distinct(con, k=64):
+    """Exact port of graft.agg.Sketches.kmvDistinct(documents.text, k=64):
+    XXH64(seed 42) over distinct texts, k smallest unsigned, (k-1)*2^64/h_k."""
+    texts = [r[0] for r in con.execute(
+        "SELECT DISTINCT text FROM documents WHERE text IS NOT NULL").fetchall()]
+    hs = sorted({xxh64_bytes(t.encode("utf-8"), 42) for t in texts})[:k]
+    n_kept = len(hs)
+    kth = hs[-1]
+    est = float(n_kept) if n_kept < k else (k - 1) * 1.8446744073709552e19 / float(kth)
+    import decimal
+    est2 = float(decimal.Decimal(repr(est)).quantize(
+        decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP))
+    return pd.DataFrame([(n_kept, signed64(kth), est2)],
+                        columns=["n_kept", "kth_hash", "est"])
+
 SUPPLEMENTARY = {
+    "q_kmv_distinct": supp_kmv_distinct,
     "q_simhash": supp_simhash,
     "q_simhash_pairs": supp_simhash_pairs,
     "q_minhash_lsh": supp_minhash_lsh,
