@@ -46,13 +46,29 @@ object Main {
       else Transcripts.fromEvents(spark, "/root/testdata/sf0.01")
     val mineFraction = if (args.length > 2) args(2).toDouble else 1.0
 
+    // GRAFT_MAIN_WARMUP=1: run a bounded warmup pass first so the reported
+    // pipeline_sec measures steady-state throughput, not whole-stage-codegen
+    // JIT (first execution of a generated stage is ~10x slower; with N fresh
+    // executor JVMs each pays it separately — see BASELINE.md methodology).
+    if (sys.env.get("GRAFT_MAIN_WARMUP").contains("1")) {
+      Pipeline.run(spark, transcripts.limit(50000), s"$workDir-warmup")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(s"$workDir-warmup"))
+    }
+
+    val t0 = System.nanoTime()
     val res = Pipeline.run(spark, transcripts, workDir, mineFraction = mineFraction)
+    val pipelineSec = (System.nanoTime() - t0) / 1e9
     // "fused" lets tools/submit_smoke.sh assert the PRODUCTION entry resolves
     // the Catalyst extension (a session without it silently runs the 3-6x
     // slower composed fallbacks — the exact regression this field catches)
     println(s"""{"turns":${res.turns},"templates":${res.templates},""" +
       s""""windows":${res.windows},"count_vector_rows":${res.countVectorRows},""" +
       s""""fused":${graft.expr.VectorFunctions.available(spark)},""" +
+      f""""pipeline_sec":$pipelineSec%.2f,""" +
       s""""routes":${res.routes.map(m => s"""{"route":"${m.route}","rows":${m.rows}}""").mkString("[", ",", "]")}}""")
     spark.stop()
   }
