@@ -120,7 +120,13 @@ object JvmScalingBench {
           java.nio.file.Paths.get("/dev/shm"), "graft-jvms").toString
       else java.nio.file.Files.createTempDirectory("graft-jvms").toString
     localDir = s"$base/spark-local"
+    // the base dir holds a multi-GB RAM-backed input + spark-local; leaking
+    // it on any exit path eats shared memory until reboot (same trap-based
+    // discipline as tools/scaling_submit.sh)
+    try { run(base, nConv, reps) } finally { rmrf(base) }
+  }
 
+  private def run(base: String, nConv: Int, reps: Int): Unit = {
     val configs = Seq(
       Cfg("c8_1jvm",  "local-cluster[1,8,12288]",  "11g", 8),
       Cfg("c32_1jvm", "local-cluster[1,32,49152]", "47g", 32),

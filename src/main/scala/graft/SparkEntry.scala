@@ -743,15 +743,19 @@ object SparkEntry {
   /** Work dir for the CSV round-trip artifacts (q_csv_*): honors the
     * `graft.workdir` conf when set — Verify points it inside its own output
     * directory, i.e. a path on the job filesystem that is cleaned up with
-    * the run — and falls back to ONE fixed per-JVM temp subdir otherwise
-    * (the writes are SaveMode.Overwrite, so repeated local runs reuse it
-    * instead of leaking a directory per invocation). On a multi-node
-    * cluster `graft.workdir` MUST point at shared storage: executors write
-    * their part files there and the read-back must see all of them.
+    * the run — and falls back to ONE per-PROCESS temp subdir otherwise
+    * (pid-suffixed: two concurrent local JVMs — e.g. Bench and sbt test —
+    * must not overwrite each other's round-trip artifacts and read mixed
+    * part files; within one JVM the writes are SaveMode.Overwrite, so
+    * repeated runs reuse the dir instead of leaking one per invocation).
+    * On a multi-node cluster `graft.workdir` MUST point at shared storage:
+    * executors write their part files there and the read-back must see all
+    * of them.
     */
   private def csvWorkDir(s: SparkSession, name: String): String = {
     val base = s.conf.getOption("graft.workdir").getOrElse(
-      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-csv-work")
+      sys.props("java.io.tmpdir").stripSuffix("/") +
+        s"/graft-csv-work-${ProcessHandle.current().pid()}")
     s"$base/$name"
   }
 

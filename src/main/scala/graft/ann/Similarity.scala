@@ -171,8 +171,16 @@ object Similarity {
     * training, identical to the pinned oracle semantics). */
   private[graft] def autoSampleMod(df: DataFrame): Long = {
     val stats = df.queryExecution.optimizedPlan.stats
-    val estRows: Long = stats.rowCount.map(_.toLong).getOrElse(
-      (stats.sizeInBytes / 256).toLong max 1L)
+    // Sources with NO size estimate (RDD-backed frames, some non-file
+    // sources) report the defaultSizeInBytes sentinel (Long.MaxValue);
+    // dividing it by 256 would yield mod ~7e10 — an EMPTY quantizer train
+    // set and silently empty results. Unknown size = train on the full
+    // corpus (mod=1, the pinned-oracle semantics); callers with a known-huge
+    // statless source must pass an explicit quantizerSampleMod.
+    val estRows: Long = stats.rowCount.map(_.toLong).getOrElse {
+      if (stats.sizeInBytes >= BigInt(Long.MaxValue)) 1L
+      else (stats.sizeInBytes / 256).toLong max 1L
+    }
     math.max(1L, estRows / IvfAutoTrainTarget)
   }
 
@@ -239,6 +247,12 @@ object Similarity {
       .orderBy(col("__h"), col("id")).limit(nLists)
       .select(col("v")).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+    // loud failure beats an empty result: an over-aggressive sample mod (or
+    // an empty corpus) must not propagate as zero rows from the search
+    require(centroids.nonEmpty,
+      s"ivfTopK: quantizer train set is empty (effective sample mod " +
+        s"$effectiveMod over an empty/undersized corpus) — pass an explicit " +
+        "quantizerSampleMod sized to the source")
 
     // order-independent mean: Σ floor(x·2^32) over longs, then one fixed
     // ((sum/2^32)/n) double chain — bit-stable under any shuffle order

@@ -72,10 +72,13 @@ object Enrich {
     * this with DuckDB's native ASOF LEFT JOIN):
     *  - ties on ts: the update at ts == left ts IS visible (<=) — updates
     *    sort before events at equal ts;
-    *  - multiple updates on one (key, ts): caller must pre-aggregate to one
-    *    row per (key, ts) (DuckDB's ASOF is ambiguous there too) — this is
-    *    asserted cheaply via the deterministic `last` tiebreak on the value
-    *    struct, documented rather than silently resolved;
+    *  - multiple updates on one (key, ts) resolve DETERMINISTICALLY to the
+    *    maximum `valueCols` struct (field-order lexicographic) — pinned by
+    *    ordering the running window on the value struct as the final key, so
+    *    the result is partition- and shuffle-order-invariant. DuckDB's native
+    *    ASOF is ambiguous on such ties (which is why the q_asof_enrich oracle
+    *    pre-aggregates to unique (key, ts)); AsofSketchSpec pins the
+    *    duplicate-update case against a hand-computed expectation instead;
     *  - left rows before any update get NULL values (left-outer shape).
     *
     * @param valueCols right-side columns to carry onto the left rows
@@ -91,9 +94,12 @@ object Enrich {
     val r = right.select(keyC :+ col(tsCol).as("__ts") :+
       struct(valueCols.map(col): _*).as("__val") :+ lit(0).as("__side"): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // __val as the FINAL sort key (asc, nulls first — left rows carry null):
+    // among duplicate updates at one (key, ts) the running `last` then picks
+    // the maximum value struct — the deterministic tie-break documented above
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyC: _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__val").asc_nulls_first)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     unioned
       .withColumn("__asof", last(col("__val"), ignoreNulls = true).over(w))

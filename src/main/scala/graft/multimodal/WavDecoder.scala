@@ -50,7 +50,10 @@ object WavDecoder extends Multimodal.MediaDecoder {
     while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
       val id   = bb.getInt(off)
       val size = bb.getInt(off + 4)
-      if (size < 0 || off + 8 + size > bytes.length)
+      // Long arithmetic: a crafted size near Int.MaxValue overflows the Int
+      // sum to negative and would slip past the check, turning the documented
+      // MalformedWav into an ArrayIndexOutOfBounds later
+      if (size < 0 || off.toLong + 8L + size > bytes.length)
         fail(s"chunk at $off overruns the payload (size=$size)")
       id match {
         case 0x20746d66 => // "fmt "

@@ -252,23 +252,42 @@ object Windows {
     * near the typical interval length (PlanSpec asserts the equi-join plan;
     * a span much larger than binSec only grows the small interval side).
     *
+    * `maxBinsPerInterval` is the scale guard: the per-interval explode is
+    * otherwise UNBOUNDED in the interval length — one year-long interval at
+    * `binSec=60` fans out into ~526k rows, and a corpus of such intervals
+    * silently re-creates the blow-up this operator exists to avoid. An
+    * interval spanning more bins FAILS LOUDLY (task error naming the guard)
+    * rather than clamping — clamping would silently drop matches. Raise the
+    * cap (or binSec) deliberately if long intervals are expected.
+    *
     * Output: the event columns + `valueCols` from the matching interval,
     * one row per (event, matching interval).
     */
   def rangeJoinBinned(events: DataFrame, intervals: DataFrame,
                       keyCols: Seq[String], tsCol: String,
                       startCol: String, endCol: String,
-                      valueCols: Seq[String], binSec: Long): DataFrame = {
+                      valueCols: Seq[String], binSec: Long,
+                      maxBinsPerInterval: Long = 10000L): DataFrame = {
     require(binSec > 0, "binSec must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
     val binUs = binSec * 1000000L
     val keyC  = keyCols.map(col)
+    val b0 = floor(col("__t0") / binUs)
+    val b1 = floor(col("__t1") / binUs)
+    // the guard lives INSIDE the sequence bound so column pruning can never
+    // optimize it away: pathological intervals fail the task loudly
+    val b1Guarded = when(b1 - b0 < maxBinsPerInterval, b1).otherwise(
+      raise_error(concat(
+        lit(s"rangeJoinBinned: interval [$startCol, $endCol] spans "),
+        (b1 - b0 + 1).cast("string"),
+        lit(s" bins of $binSec s > maxBinsPerInterval=$maxBinsPerInterval — " +
+          "raise binSec or the cap for long-interval corpora"))).cast("long"))
     // cast handles TIMESTAMP_NTZ columns too (session TZ is pinned UTC)
     val ivals = intervals.select(
         keyC ++ Seq(unix_micros(col(startCol).cast("timestamp")).as("__t0"),
           unix_micros(col(endCol).cast("timestamp")).as("__t1")) ++ valueCols.map(col): _*)
       .filter(col("__t0") <= col("__t1"))
-      .withColumn("__bin",
-        explode(sequence(floor(col("__t0") / binUs), floor(col("__t1") / binUs))))
+      .withColumn("__bin", explode(sequence(b0, b1Guarded)))
     val evs = events
       .withColumn("__ts", unix_micros(col(tsCol).cast("timestamp")))
       .withColumn("__bin", floor(col("__ts") / binUs))

@@ -112,6 +112,42 @@ class AsofSketchSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
   }
 
+  test("asOfJoin: duplicate updates at one (key, ts) resolve to the MAX value struct, deterministically") {
+    val left = Seq(("a", 1, 10L), ("a", 2, 20L)).toDF("k", "idx", "ts")
+    // three updates on the same (key, ts): max struct = (9, "z") must win,
+    // whatever the partitioning or input order
+    val right = Seq(("a", 10L, 3, "z"), ("a", 10L, 9, "z"), ("a", 10L, 9, "a"),
+      ("a", 15L, 1, "mid")).toDF("k", "ts", "n", "s")
+    def run(leftParts: Int, rightParts: Int) = Enrich.asOfJoin(
+        left.repartition(leftParts), right.repartition(rightParts),
+        Seq("k"), "ts", Seq("n", "s"))
+      .select("idx", "n", "s").as[(Int, Int, String)].collect().toSet
+    val expected = Set((1, 9, "z"), (2, 1, "mid"))
+    assert(run(1, 1) === expected)
+    assert(run(7, 3) === expected)
+    assert(run(2, 16) === expected)
+  }
+
+  test("rangeJoinBinned fails LOUDLY on an interval spanning more than maxBinsPerInterval bins") {
+    val eDf = Seq(("k", 1, new java.sql.Timestamp(1000L))).toDF("k", "eid", "ts")
+    // one year-long interval at binSec=60 -> ~526k bins >> the cap
+    val iDf = Seq(("k", 1, new java.sql.Timestamp(0L),
+      new java.sql.Timestamp(365L * 86400 * 1000))).toDF("k", "iid", "t0", "t1")
+    val ex = intercept[Exception] {
+      graft.windows.Windows.rangeJoinBinned(
+        eDf, iDf, Seq("k"), "ts", "t0", "t1", Seq("iid"), binSec = 60).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("maxBinsPerInterval")),
+      s"expected the guard to name itself, got: ${messages(ex)}")
+    // a raised cap admits the same interval
+    val ok = graft.windows.Windows.rangeJoinBinned(
+      eDf, iDf, Seq("k"), "ts", "t0", "t1", Seq("iid"), binSec = 60,
+      maxBinsPerInterval = 600000L).select("eid", "iid").collect()
+    assert(ok.length === 1)
+  }
+
   test("kmvDistinct plans per-partition top-k (TakeOrdered), never a global sort") {
     val df = (0 until 1000).map(i => s"v$i").toDF("text").repartition(8)
     val plan = Sketches.kmvDistinct(df, "text", 32).queryExecution.executedPlan.toString
