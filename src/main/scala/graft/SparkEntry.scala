@@ -441,6 +441,14 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), "text", k = 64)
     },
 
+    // per-group KMV sketch (distinct texts per source) — the bounded-buffer
+    // mergeable aggregate; oracle = HashOracleSql.qKmvGroupedSql (the same
+    // XXH64 CTE, per-group bottom-k via row_number).
+    "q_kmv_grouped" -> { (s, dir) =>
+      graft.agg.Sketches.kmvDistinctBy(
+        s.read.parquet(s"$dir/documents.parquet"), Seq("source"), "text", k = 64)
+    },
+
     // MinHash+LSH near-dup pairs (approximate; ScalaTest checks recall vs
     // the exact pairs; exact oracle = HashOracleSql.qMinhashLshSql, which
     // re-derives XXH64 signatures + band buckets inside DuckDB SQL).
@@ -1449,6 +1457,8 @@ object SparkEntry {
 
     "q_kmv_distinct" -> graft.oracle.HashOracleSql.qKmvDistinctSql(
       "documents", "text", k = 64),
+    "q_kmv_grouped" -> graft.oracle.HashOracleSql.qKmvGroupedSql(
+      "documents", "source", "text", k = 64),
 
     "q_simhash" -> graft.oracle.HashOracleSql.qSimhashSql,
     "q_simhash_pairs" -> graft.oracle.HashOracleSql.qSimhashPairsSql(maxHamming = 7),

@@ -1,6 +1,6 @@
 package graft.agg
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sketch operators for corpus-scale statistics. Unlike Spark's builtin
@@ -51,4 +51,83 @@ object Sketches {
                 when(col("kth_hash") < 0, lit(two64)).otherwise(lit(0.0)))),
           2).as("est"))
   }
+
+  private val Two64 = 1.8446744073709552e19 // 2^64, exactly representable
+
+  /** Bottom-k distinct-hash aggregate COLUMN (the KMV sketch state): fused
+    * [[graft.expr.KmvBottomK]] when the extension is installed — bounded
+    * k-value buffer per group, map-side partial aggregation — with the
+    * semantics-identical composed fallback otherwise. The fallback's
+    * `collect_set` buffers EVERY distinct hash of a group (fine locally,
+    * unbounded at scale) — production sessions install
+    * `graft.expr.GraftExtensions` and get the bounded buffer.
+    * Both forms emit the k smallest distinct hashes in unsigned ascending
+    * order as `array<long>`.
+    */
+  def bottomKHashes(h: Column, k: Int): Column = {
+    val fused = org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(graft.expr.VectorFunctions.available)
+    if (fused) call_function("graft_kmv", h, lit(k))
+    else transform(
+      slice(sort_array(collect_set(h.bitwiseXOR(lit(Long.MinValue)))), 1, k),
+      x => x.bitwiseXOR(lit(Long.MinValue)))
+  }
+
+  /** Estimate columns from a sketch array (`n_kept`, `kth_hash`, `est` —
+    * the same arithmetic as [[kmvDistinct]], and the same DuckDB-exact
+    * double chain). Callers guarantee the sketch is non-empty (every group
+    * has at least one non-null hashed row by construction).
+    */
+  private def estimateCols(sketch: Column, k: Int): Seq[Column] = {
+    val nKept = size(sketch).cast("long")
+    val kth   = element_at(sketch, size(sketch))
+    Seq(
+      nKept.as("n_kept"),
+      kth.as("kth_hash"),
+      round(
+        when(nKept < k, nKept.cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(Two64) /
+            (kth.cast("double") +
+              when(kth < 0, lit(Two64)).otherwise(lit(0.0)))),
+        2).as("est"))
+  }
+
+  /** Per-group KMV sketch STATE: one row per group with `kmv_sketch`
+    * (`array<long>`, the k smallest distinct hashes of `c` in unsigned
+    * order — the mergeable representation). Persist this per shard/day and
+    * combine later with [[kmvMergeSketches]]; the merge law
+    * `sketch(A ∪ B) = merge(sketch(A), sketch(B))` is exact
+    * (KmvGroupedSpec pins it).
+    *
+    * Scale shape: ONE hash-partial aggregation on the group keys — with the
+    * fused aggregate each map task carries at most k longs per group, so the
+    * shuffle is k·groups longs regardless of corpus size.
+    */
+  def kmvSketchBy(df: DataFrame, groupCols: Seq[String], c: String, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    require(groupCols.nonEmpty, "use kmvDistinct for the corpus-global sketch")
+    df.filter(col(c).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(bottomKHashes(xxhash64(col(c)), k).as("kmv_sketch"))
+  }
+
+  /** Combine partial per-group sketches (e.g. one per day/shard): union the
+    * hash sets, keep the k smallest — exactly the aggregate's own merge, so
+    * re-sketching merged state equals sketching the union.
+    */
+  def kmvMergeSketches(df: DataFrame, groupCols: Seq[String],
+                       sketchCol: String, k: Int): DataFrame =
+    df.select(groupCols.map(col) :+ explode(col(sketchCol)).as("__h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(bottomKHashes(col("__h"), k).as("kmv_sketch"))
+
+  /** Per-group distinct-count estimate — the 100 TB use case (distinct users
+    * per template, distinct templates per tool): one row per group with
+    * `n_kept`, `kth_hash`, `est`, same estimator and cross-engine-exact
+    * arithmetic as the corpus-global [[kmvDistinct]] (oracle:
+    * [[graft.oracle.HashOracleSql.qKmvGroupedSql]]).
+    */
+  def kmvDistinctBy(df: DataFrame, groupCols: Seq[String], c: String, k: Int): DataFrame =
+    kmvSketchBy(df, groupCols, c, k)
+      .select(groupCols.map(col) ++ estimateCols(col("kmv_sketch"), k): _*)
 }

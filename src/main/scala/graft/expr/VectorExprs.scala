@@ -589,6 +589,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nearest_centroid"),
       new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
       (children: Seq[Expression]) => NearestCentroid(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvBottomK].getName, "graft_kmv"),
+      (children: Seq[Expression]) => KmvBottomK(children(0), children(1))))
   }
 }
 

@@ -303,6 +303,35 @@ object HashOracleSql {
        |FROM agg""".stripMargin
   }
 
+  /** q_kmv_grouped: the per-group KMV sketch
+    * ([[graft.agg.Sketches.kmvDistinctBy]]) re-derived. Each DISTINCT text is
+    * hashed ONCE through the XXH64 CTE and joined back to its groups (the
+    * same value→hash function Spark applies rowwise), then per group the k
+    * smallest distinct hashes in unsigned order feed the identical
+    * (k-1)·2^64/h_k estimate chain as [[qKmvDistinctSql]].
+    */
+  def qKmvGroupedSql(table: String, groupCol: String, column: String, k: Int): String = {
+    val two64d = "1.8446744073709552e19"
+    s"""WITH gtxt AS (SELECT DISTINCT $groupCol AS g, $column AS s
+       |              FROM $table WHERE $column IS NOT NULL),
+       |dvals AS (SELECT DISTINCT s FROM gtxt),
+       |xh AS (${xxh64StrSql("SELECT s FROM dvals")}),
+       |gh AS (SELECT DISTINCT g, base FROM gtxt JOIN xh USING (s)),
+       |rk AS (SELECT g, base,
+       |              row_number() OVER (PARTITION BY g ORDER BY base) AS rn
+       |       FROM gh),
+       |agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_kept,
+       |               ${signed("max(base)")} AS kth_hash
+       |        FROM rk WHERE rn <= $k GROUP BY g)
+       |SELECT g AS $groupCol, n_kept, kth_hash,
+       |       round(CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
+       |                  ELSE ${(k - 1).toDouble} * $two64d /
+       |                       (CAST(kth_hash AS DOUBLE) +
+       |                        CASE WHEN kth_hash < 0 THEN $two64d ELSE 0.0 END)
+       |             END, 2) AS est
+       |FROM agg""".stripMargin
+  }
+
   /** q_ann_ivf: the whole deterministic IVF pipeline unrolled — hash-ranked
     * init, `iters` k-means iterations with the floor(x*2^32) order-independent
     * centroid mean, full-corpus assignment, nProbe nearest lists, exact

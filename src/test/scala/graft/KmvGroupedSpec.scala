@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.agg.Sketches
+
+/** Grouped/mergeable KMV: fused-vs-fallback parity, per-group exactness
+  * below k, partition invariance (which exercises the TypedImperativeAggregate
+  * serialize/merge path through real partial aggregation), and the merge law
+  * sketch(A ∪ B) == merge(sketch(A), sketch(B)).
+  */
+class KmvGroupedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def composed(h: Column, k: Int): Column =
+    transform(
+      slice(sort_array(collect_set(h.bitwiseXOR(lit(Long.MinValue)))), 1, k),
+      x => x.bitwiseXOR(lit(Long.MinValue)))
+
+  private def fixture = {
+    val rng = new scala.util.Random(17)
+    // duplicates on purpose; group sizes straddle k in the tests below
+    (0 until 3000).map { i =>
+      (s"g${i % 7}", if (i % 41 == 0) null else s"v${rng.nextInt(400)}")
+    }.toDF("g", "v")
+  }
+
+  test("fused graft_kmv == composed collect_set fallback (duplicates + null hashes)") {
+    val df = fixture
+    val h = when(col("v").isNotNull, xxhash64(col("v"))) // null hash for null v
+    val fused = df.groupBy("g")
+      .agg(call_function("graft_kmv", h, lit(16)).as("s"))
+      .as[(String, Seq[Long])].collect().toMap
+    val fall = df.groupBy("g")
+      .agg(composed(h, 16).as("s"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(fused === fall)
+    assert(fused.values.forall(_.nonEmpty))
+  }
+
+  test("kmvDistinctBy is exact below k and matches kmvDistinct on a single group") {
+    val small = (0 until 50).flatMap(i => Seq(("a", s"x$i"), ("b", s"y${i % 20}")))
+      .toDF("g", "v")
+    val got = Sketches.kmvDistinctBy(small, Seq("g"), "v", k = 64)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("a")._2 === 50L && got("a")._4 === 50.0)
+    assert(got("b")._2 === 20L && got("b")._4 === 20.0)
+
+    val docs = (0 until 5000).map(i => s"value-$i").toDF("text")
+    val global = Sketches.kmvDistinct(docs, "text", k = 64).collect()(0)
+    val viaGroup = Sketches.kmvDistinctBy(
+        docs.withColumn("g", lit("all")), Seq("g"), "text", k = 64).collect()(0)
+    assert(viaGroup.getLong(1) === global.getLong(0))
+    assert(viaGroup.getLong(2) === global.getLong(1))
+    assert(viaGroup.getDouble(3) === global.getDouble(2))
+  }
+
+  test("partition invariance: 1 vs 13 partitions (drives serialize + merge of partial buffers)") {
+    val df = fixture
+    def run(n: Int) = Sketches.kmvDistinctBy(df.repartition(n), Seq("g"), "v", k = 32)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(run(1) === run(13))
+  }
+
+  test("merge law: merge(sketch(A), sketch(B)) == sketch(A union B), incl. groups only in one side") {
+    val df = fixture.filter(col("v").isNotNull)
+      .withColumn("half", xxhash64(col("v")) % 2 === 0)
+    val a = df.filter(col("half")).drop("half")
+    val b = df.filter(!col("half")).drop("half")
+    // group g_only lives exclusively in A
+    val aPlus = a.union(Seq(("g_only", "solo1"), ("g_only", "solo2")).toDF("g", "v"))
+    val k = 24
+    val merged = Sketches.kmvMergeSketches(
+        Sketches.kmvSketchBy(aPlus, Seq("g"), "v", k)
+          .union(Sketches.kmvSketchBy(b, Seq("g"), "v", k)),
+        Seq("g"), "kmv_sketch", k)
+      .as[(String, Seq[Long])].collect().toMap
+    val direct = Sketches.kmvSketchBy(aPlus.union(b), Seq("g"), "v", k)
+      .as[(String, Seq[Long])].collect().toMap
+    assert(merged === direct)
+    assert(merged("g_only") === direct("g_only"))
+  }
+
+  test("sketch shuffle stays narrow: plan carries the k-bounded aggregate, not the values") {
+    val df = fixture
+    val plan = Sketches.kmvSketchBy(df, Seq("g"), "v", 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_kmv"), s"expected the fused aggregate in the plan:\n$plan")
+    assert(!plan.contains("collect_set"), s"fallback crept into an extension session:\n$plan")
+  }
+}

@@ -327,8 +327,31 @@ def supp_kmv_distinct(con, k=64):
     return pd.DataFrame([(n_kept, signed64(kth), est2)],
                         columns=["n_kept", "kth_hash", "est"])
 
+def supp_kmv_grouped(con, k=64):
+    """Exact port of graft.agg.Sketches.kmvDistinctBy(documents, [source],
+    text, k=64): per-source bottom-k of XXH64(seed 42) over distinct texts."""
+    rows = con.execute(
+        "SELECT DISTINCT source, text FROM documents WHERE text IS NOT NULL"
+    ).fetchall()
+    groups = {}
+    for g, t in rows:
+        groups.setdefault(g, set()).add(xxh64_bytes(t.encode("utf-8"), 42))
+    import decimal
+    out = []
+    for g, hset in groups.items():
+        hs = sorted(hset)[:k]
+        n_kept = len(hs)
+        kth = hs[-1]
+        est = float(n_kept) if n_kept < k else \
+            (k - 1) * 1.8446744073709552e19 / float(kth)
+        est2 = float(decimal.Decimal(repr(est)).quantize(
+            decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP))
+        out.append((g, n_kept, signed64(kth), est2))
+    return pd.DataFrame(out, columns=["source", "n_kept", "kth_hash", "est"])
+
 SUPPLEMENTARY = {
     "q_kmv_distinct": supp_kmv_distinct,
+    "q_kmv_grouped": supp_kmv_grouped,
     "q_simhash": supp_simhash,
     "q_simhash_pairs": supp_simhash_pairs,
     "q_minhash_lsh": supp_minhash_lsh,
