@@ -11,7 +11,7 @@ import graft.enrich.Enrich
 import graft.dedup.Dedup
 import graft.ann.Similarity
 import graft.text.TextAnalysis
-import graft.multimodal.Multimodal
+import graft.multimodal.{ImageHeaderDecoder, Multimodal}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -575,6 +575,19 @@ object SparkEntry {
     "q_media_features" -> { (s, dir) =>
       val d = s.read.parquet(s"$dir/documents.parquet")
       Multimodal.extractFeatures(Multimodal.asMedia(d, "doc_id", "text")).toDF()
+    },
+
+    // REAL image header decode: deterministic PNG/JPEG bytes are constructed
+    // per doc_id (ImageHeaderDecoder.syntheticBytes — valid signatures, CRC'd
+    // IHDR, APP0/COM skip segments), parsed back by the pure-JVM header
+    // parser, and DuckDB recomputes the expected fields arithmetically from
+    // the same id formulas — an end-to-end round-trip oracle of the parser.
+    "q_image_headers" -> { (s, dir) =>
+      import s.implicits._
+      val media = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRow(id, "image", ImageHeaderDecoder.syntheticBytes(id)))
+      ImageHeaderDecoder.imageStats(media).toDF()
     },
 
     // P8 — anomaly-rate counter.
@@ -1247,6 +1260,21 @@ object SparkEntry {
         |  CAST((ascii(substr(md5(text), 3, 1)) * 256 + ascii(substr(md5(text), 4, 1))) % 1080 AS INT) AS height,
         |  CAST((ascii(substr(md5(text), 5, 1)) * 256 + ascii(substr(md5(text), 6, 1))) * 10 AS INT) AS duration_ms,
         |  md5(text) AS digest
+        |FROM documents""".stripMargin,
+
+    // mirror of ImageHeaderDecoder.syntheticHeader — the round-trip oracle:
+    // Spark constructs real PNG/JPEG bytes from doc_id and parses them back;
+    // DuckDB computes the expected header fields from the same id formulas.
+    "q_image_headers" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CAST(doc_id % 1920 + 1 AS INT) AS width,
+        |  CAST(doc_id % 1080 + 1 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN
+        |         CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+        |       ELSE CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END
+        |  END AS INT) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 0 AND doc_id % 5 = 0 THEN 16 ELSE 8 END AS INT) AS bit_depth
         |FROM documents""".stripMargin,
 
     "q_anomaly_rate" -> withT(
