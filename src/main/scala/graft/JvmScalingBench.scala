@@ -90,21 +90,8 @@ object JvmScalingBench {
     }
   }
 
-  /** Pure-CPU hardware calibration, same as ScalingBench. */
-  private def spinSeconds(nThreads: Int, reps: Int = 3): Double = {
-    val total = 6400000000L
-    val per   = total / nThreads
-    (1 to reps).map { _ =>
-      val t0 = System.nanoTime()
-      val ts = Array.fill(nThreads)(new Thread(() => {
-        var x = 0.0; var j = 0L
-        while (j < per) { x += math.sqrt(j.toDouble); j += 1 }
-        if (x < 0) println("")
-      }))
-      ts.foreach(_.start()); ts.foreach(_.join())
-      (System.nanoTime() - t0) / 1e9
-    }.min
-  }
+  /** Pure-CPU hardware calibration, shared with [[HwCalibrate]]. */
+  private def spinSeconds(nThreads: Int): Double = HwCalibrate.spinSeconds(nThreads)
 
   final case class Cfg(tag: String, master: String, execMem: String, cores: Int)
   final case class Run(turns: Long, wallSec: Double, cpuSec: Double)

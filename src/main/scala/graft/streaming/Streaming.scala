@@ -106,6 +106,11 @@ object Streaming {
     * // kafka feeds: bound a trigger by records instead
     * //   .option("maxOffsetsPerTrigger", 500000)
     * }}}
+    * Both bounding modes are tested: file-bounded (maxFilesPerTrigger=1,
+    * one conversation sliced across ~10 batches) and record-bounded
+    * (rate-micro-batch rowsPerBatch — the deterministic
+    * maxOffsetsPerTrigger analog, conversations cut mid-batch at arbitrary
+    * record boundaries) — StreamingSpec.
     * Input contract: a source may split a conversation across any number of
     * micro-batches, but must deliver its turns in order ACROSS batches
     * (within a batch any order is fine — the primitive sort handles it);

@@ -243,4 +243,54 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
     assert(got === batch)
   }
+
+  test("streaming anchor sessions: RECORD-bounded micro-batches (rate source, maxOffsetsPerTrigger analog)") {
+    // The Scaladoc's second trigger-sizing knob: Kafka-style feeds bound a
+    // trigger by RECORD COUNT, not files. rate-micro-batch emits exactly
+    // rowsPerBatch records per trigger — the deterministic stand-in for
+    // maxOffsetsPerTrigger — so conversations are sliced mid-batch at
+    // arbitrary record boundaries; the cross-batch AnchorState handoff must
+    // still reproduce the batch twin over every fully-committed prefix.
+    val rowsPerBatch = 500
+    val nConvs = 8
+    // value -> turn event: conv = value % 8, turn = value / 8 (monotone per
+    // conv across batches = the operator's cross-batch ordering contract,
+    // exactly how per-key Kafka partitions deliver); ts walks 100 s per turn
+    // so the 300 s anchor gap rolls sessions continually
+    def mapped(df: org.apache.spark.sql.DataFrame) = df
+      .select(concat(lit("c"), col("value") % nConvs).as("conv_id"),
+        (col("value") / nConvs).cast("int").as("turn_idx"),
+        ((col("value") / nConvs).cast("long") * 100000000L).as("ts_us"))
+
+    val stream = mapped(spark.readStream
+        .format("rate-micro-batch")
+        .option("rowsPerBatch", rowsPerBatch)
+        .option("numPartitions", 2)
+        .load())
+      .as[Streaming.TurnEvent]
+    val q = Streaming.anchorSessionIds(stream, gapSec = 300)
+      .writeStream.format("memory").queryName("anchor_rate")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (spark.table("anchor_rate").count() < 3L * rowsPerBatch &&
+             System.currentTimeMillis() < deadline) Thread.sleep(200)
+    } finally q.stop()
+    val table = spark.table("anchor_rate")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(table.size >= 3 * rowsPerBatch, s"only ${table.size} rows committed")
+
+    // compare the first 3 complete batches (values 0..1499) against the
+    // batch twin over the same prefix — prefix-closed because per-conv turn
+    // order follows value order
+    val n = 3 * rowsPerBatch
+    val got = table.filter { case ((c, turn), _) =>
+      turn.toLong * nConvs + c.stripPrefix("c").toInt < n
+    }
+    val batchDf = mapped(spark.range(n).toDF("value"))
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val expected = graft.windows.Windows.anchorSessions(batchDf, gapSec = 300)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(got === expected)
+  }
 }

@@ -4,20 +4,24 @@
 # throughput scaling efficiency". This drives graft.Main through REAL
 # spark-submit against local-cluster masters with N=1 and 4N=4 separate
 # executor JVMs (8 cores / 12 GiB each) on the same generated input,
-# interleaved best-of-REPS, and prints one JSON line.
+# interleaved best-of-REPS (default 4 — round 4's 2 reps were inside the
+# host's ±23-62% steal band and statistically unreadable), and prints ONE
+# JSON line.
 #
-# Interpretation on this sandbox host: the box is CPU-overcommitted — the
-# in-band calibration in ScalingBench/JvmScalingBench measures only
-# ~2.1-3.0x hardware speedup from 8→32 threads (ceiling 0.52-0.76), so read
-# the raw ratio against BASELINE.md's recorded ceiling for the same window;
-# JvmScalingBench is the rigorous in-process version of this measurement.
+# Normalization: this sandbox host is CPU-overcommitted — a pure-CPU spin at
+# 8 vs 32 threads (graft.HwCalibrate, run through the SAME spark-submit path
+# immediately before AND after the measurement window) delivers only
+# ~2.1-3.0x of the ideal 4.0x. The JSON therefore carries the raw ratio,
+# the measured hw ceiling for this window (mean of the two calibrations),
+# and the hardware-NORMALIZED efficiency — the number comparable to the 0.8
+# bar (JvmScalingBench is the in-process version of the same methodology).
 #
-#   bash tools/scaling_submit.sh            # ~25 min at the default 115M turns
+#   bash tools/scaling_submit.sh            # ~45 min at the default 115M turns x 4 reps
 #   SUBMIT_SCALE_CONVS=400000 SUBMIT_SCALE_REPS=1 bash tools/scaling_submit.sh  # smoke
 set -euo pipefail
 cd "$(dirname "$0")/.."
 CONVS="${SUBMIT_SCALE_CONVS:-6400000}"
-REPS="${SUBMIT_SCALE_REPS:-2}"
+REPS="${SUBMIT_SCALE_REPS:-4}"
 BASE="$(mktemp -d /dev/shm/graft-submit-scale-XXXX)"
 trap 'rm -rf "$BASE"' EXIT
 export SPARK_SCALA_VERSION=2.13
@@ -33,6 +37,11 @@ submit() { # master extra-conf... -- classArgs...
     --conf spark.sql.session.timeZone=UTC \
     --conf spark.local.dir="$BASE/spark-local" \
     "$@"
+}
+
+calibrate() { # -> "spin8 spin32 speedup"
+  submit 'local[1]' --class graft.HwCalibrate "$JAR" 2>/dev/null | \
+    sed -n 's/.*"spin8_sec":\([0-9.]*\),"spin32_sec":\([0-9.]*\),"speedup_8_to_32":\([0-9.]*\).*/\1 \2 \3/p'
 }
 
 echo "[submit-scale] generating ${CONVS} conversations on tmpfs..." >&2
@@ -59,19 +68,53 @@ run_one() { # tag master shufflePartitions
   echo "$PSEC $TURNS"
 }
 
+echo "[submit-scale] hw calibration (pre)..." >&2
+read -r SPIN8_PRE SPIN32_PRE SPEEDUP_PRE <<< "$(calibrate)"
+echo "[submit-scale] pre: spin8=${SPIN8_PRE}s spin32=${SPIN32_PRE}s speedup=${SPEEDUP_PRE}" >&2
+
 N_MASTER='local-cluster[1,8,12288]'
 N4_MASTER='local-cluster[4,8,12288]'
-BEST_N=""; BEST_4N=""; TURNS=""
+N_REPS=""; N4_REPS=""; TURNS=""
 for rep in $(seq 1 "$REPS"); do
   read -r tN  turns  <<< "$(run_one "n-$rep"  "$N_MASTER" 8)"
   read -r t4N turns2 <<< "$(run_one "4n-$rep" "$N4_MASTER" 32)"
   [ "$turns" = "$turns2" ] || { echo "FAIL: turn counts differ ($turns vs $turns2)"; exit 1; }
   TURNS="$turns"
-  echo "[submit-scale] rep $rep: N(1x8)=${tN}s 4N(4x8)=${t4N}s turns=$turns" >&2
-  BEST_N=$(echo "${BEST_N:-$tN} $tN" | awk '{print ($1<$2)?$1:$2}')
-  BEST_4N=$(echo "${BEST_4N:-$t4N} $t4N" | awk '{print ($1<$2)?$1:$2}')
+  echo "[submit-scale] rep $rep/$REPS: N(1x8)=${tN}s 4N(4x8)=${t4N}s turns=$turns" >&2
+  N_REPS="$N_REPS $tN"; N4_REPS="$N4_REPS $t4N"
 done
 
-echo "$BEST_N $BEST_4N $TURNS" | awk '{printf \
-  "{\"metric\":\"submit_scaling\",\"value\":%.3f,\"unit\":\"n_to_4n_efficiency\",\"turns\":%d,\"n_executors_sec\":%.2f,\"four_n_executors_sec\":%.2f,\"speedup\":%.2f}\n", \
-  ($1/$2)/4.0, $3, $1, $2, $1/$2}'
+echo "[submit-scale] hw calibration (post)..." >&2
+read -r SPIN8_POST SPIN32_POST SPEEDUP_POST <<< "$(calibrate)"
+echo "[submit-scale] post: spin8=${SPIN8_POST}s spin32=${SPIN32_POST}s speedup=${SPEEDUP_POST}" >&2
+
+N_REPS="$N_REPS" N4_REPS="$N4_REPS" TURNS="$TURNS" REPS="$REPS" \
+SPEEDUP_PRE="$SPEEDUP_PRE" SPEEDUP_POST="$SPEEDUP_POST" \
+python3 - <<'PY'
+import json, os
+n = [float(x) for x in os.environ["N_REPS"].split()]
+n4 = [float(x) for x in os.environ["N4_REPS"].split()]
+pre, post = float(os.environ["SPEEDUP_PRE"]), float(os.environ["SPEEDUP_POST"])
+best_n, best_4n = min(n), min(n4)
+speedup = best_n / best_4n          # best-of: the least-interfered estimate per config
+raw = speedup / 4.0
+hw_speedup = (pre + post) / 2.0     # the window's measured 8->32-thread ceiling
+ceiling = hw_speedup / 4.0
+print(json.dumps({
+    "metric": "submit_scaling",
+    "value": round(raw, 3),
+    "unit": "n_to_4n_efficiency",
+    "turns": int(os.environ["TURNS"]),
+    "reps": int(os.environ["REPS"]),
+    "n_executors_sec": round(best_n, 2),
+    "four_n_executors_sec": round(best_4n, 2),
+    "n_executors_reps": n,
+    "four_n_executors_reps": n4,
+    "speedup": round(speedup, 2),
+    "hw_speedup_8_to_32": round(hw_speedup, 2),
+    "hw_speedup_pre": round(pre, 2),
+    "hw_speedup_post": round(post, 2),
+    "hw_ceiling": round(ceiling, 3),
+    "normalized": round(raw / ceiling, 3),
+}, separators=(",", ":")))
+PY
