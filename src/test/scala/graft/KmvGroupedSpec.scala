@@ -89,5 +89,10 @@ class KmvGroupedSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("graft_kmv"), s"expected the fused aggregate in the plan:\n$plan")
     assert(!plan.contains("collect_set"), s"fallback crept into an extension session:\n$plan")
+    // map-side partial aggregation: the pre-shuffle side must carry the
+    // k-bounded buffer (partial_graft_kmv), so the exchange ships k longs
+    // per (task, group), never the input hashes
+    assert(plan.contains("partial_graft_kmv"), s"no map-side partial agg:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$plan")
   }
 }
