@@ -547,6 +547,27 @@ object SparkEntry {
           "stopword_ratio", "alpha_ratio", "quality_score")
     },
 
+    // n-gram LM count table with min-count pruning (the canonical word-count
+    // plan: explode + two-level hash agg).
+    "q_ngram_counts" -> { (s, dir) =>
+      TextAnalysis.ngramCounts(
+        s.read.parquet(s"$dir/documents.parquet"), "text", n = 3, minCount = 2L)
+    },
+
+    // train/test contamination overlap: test docs (doc_id % 3 == 0) vs the
+    // rest as training corpus; overlap emitted as FLOORED basis points
+    // ((10000 * n_hit) div n_grams — exact integer arithmetic on both
+    // engines, immune to the HALF_UP-vs-HALF_EVEN 4dp edge at ratios like
+    // 1/32).
+    "q_ngram_overlap" -> { (s, dir) =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.ngramContamination(
+          d.filter(col("doc_id") % 3 === 0), d.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          expr("(10000 * n_hit) div n_grams").as("overlap_bp"))
+    },
+
     // token counting: whitespace + BPE-ish regex.
     "q_token_count" -> { (s, dir) =>
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1261,6 +1282,38 @@ object SparkEntry {
         |  CAST((ascii(substr(md5(text), 5, 1)) * 256 + ascii(substr(md5(text), 6, 1))) * 10 AS INT) AS duration_ms,
         |  md5(text) AS digest
         |FROM documents""".stripMargin,
+
+    "q_ngram_counts" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT unnest(list_transform(range(0, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i+1:i+3], ' '))) AS ngram
+        |  FROM toks)
+        |SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+        |FROM grams GROUP BY ngram HAVING count(*) >= 2""".stripMargin,
+
+    "q_ngram_overlap" ->
+      """WITH tg AS (
+        |  SELECT DISTINCT doc_id, ngram FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(0, greatest(len(t) - 2, 0)),
+        |        i -> array_to_string(t[i+1:i+3], ' '))) AS ngram
+        |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |          FROM documents WHERE doc_id % 3 = 0))),
+        |cg AS (
+        |  SELECT DISTINCT ngram FROM (
+        |    SELECT unnest(list_transform(range(0, greatest(len(t) - 2, 0)),
+        |      i -> array_to_string(t[i+1:i+3], ' '))) AS ngram
+        |    FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        |          FROM documents WHERE doc_id % 3 <> 0))),
+        |agg AS (
+        |  SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |         CAST(sum(CASE WHEN cg.ngram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |  FROM tg LEFT JOIN cg ON tg.ngram = cg.ngram
+        |  GROUP BY tg.doc_id)
+        |SELECT doc_id, n_grams, n_hit, (10000 * n_hit) // n_grams AS overlap_bp
+        |FROM agg""".stripMargin,
 
     // mirror of ImageHeaderDecoder.syntheticHeader — the round-trip oracle:
     // Spark constructs real PNG/JPEG bytes from doc_id and parses them back;

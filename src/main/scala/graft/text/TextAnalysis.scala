@@ -143,4 +143,64 @@ object TextAnalysis {
                 1))),
           1)
     }
+
+  /** Word n-grams WITH multiplicity, in document order — the LM-count-table
+    * cousin of [[graft.dedup.Dedup.shingles]] (which dedups, Jaccard
+    * semantics). Joined by single spaces. The outer `element_at(transform(
+    * array(...)))` let-binds the token array so the per-position lambdas
+    * don't re-split the text per n-gram (the documented O(n²) HOF pitfall).
+    * Fewer than n tokens → empty array.
+    */
+  def ngramsWithMultiplicity(text: Column, n: Int): Column =
+    element_at(
+      transform(array(split(trim(text), "\\s+")), toks =>
+        filter(
+          transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+            i => when(i + n <= size(toks), array_join(slice(toks, i + 1, lit(n)), " "))),
+          x => x.isNotNull)),
+      1)
+
+  /** N-gram COUNT TABLE over a corpus (language-model counts, contamination
+    * indexes): one row per n-gram with total occurrence count, pruned at
+    * `minCount` (the standard LM count-table cutoff).
+    *
+    * Scale shape: explode + a two-level hash aggregate with map-side partial
+    * combine — the canonical word-count plan; hot n-grams collapse per task
+    * before the single count shuffle, and the minCount filter runs after the
+    * final aggregate (it cannot be pushed below it). Cross-engine exact for
+    * printable-ASCII text (Java `\s+` vs RE2 — same caveat as every text
+    * oracle in this repo).
+    */
+  def ngramCounts(df: DataFrame, textCol: String, n: Int,
+                  minCount: Long = 1L): DataFrame =
+    df.select(explode(ngramsWithMultiplicity(col(textCol), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
+  /** Train/test CONTAMINATION overlap — the decontamination primitive: for
+    * each test document, the fraction of its distinct n-grams that appear
+    * anywhere in the training corpus. Output: (id, n_grams, n_hit, overlap
+    * rounded 4dp), one row per test doc that has at least one n-gram.
+    *
+    * Scale shape: corpus grams deduped once (map-side partial distinct),
+    * then ONE equi-join on the n-gram key — corpus-side keys unique so the
+    * join never fans out — and a per-doc count aggregate. Test sets are
+    * usually tiny next to the corpus; AQE broadcasts the test side when it
+    * fits, and the shuffle join co-partitions on the gram key otherwise.
+    */
+  def ngramContamination(test: DataFrame, corpus: DataFrame, idCol: String,
+                         textCol: String, n: Int): DataFrame = {
+    val cGrams = corpus
+      .select(explode(ngramsWithMultiplicity(col(textCol), n)).as("ngram"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    val tGrams = test.select(col(idCol),
+        explode(array_distinct(ngramsWithMultiplicity(col(textCol), n))).as("ngram"))
+    tGrams.join(cGrams, Seq("ngram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).cast("long").as("n_hit"))
+      .withColumn("overlap", col("n_hit") / col("n_grams"))
+  }
 }

@@ -83,6 +83,28 @@ class KmvGroupedSpec extends AnyFunSuite {
     assert(merged("g_only") === direct("g_only"))
   }
 
+  test("seeded fuzz: fused == fallback across random k, group counts, skew, null rates") {
+    val rng = new scala.util.Random(4242)
+    (1 to 4).foreach { round =>
+      val k = 2 + rng.nextInt(40)
+      val nGroups = 1 + rng.nextInt(9)
+      val card = 1 + rng.nextInt(300)
+      val nullPct = rng.nextInt(30)
+      val rows = (0 until 1500).map { _ =>
+        (s"g${rng.nextInt(nGroups)}",
+          if (rng.nextInt(100) < nullPct) null
+          else s"v${(rng.nextGaussian().abs * card).toInt}") // skewed values
+      }
+      val df = rows.toDF("g", "v").repartition(1 + rng.nextInt(7))
+      val h = when(col("v").isNotNull, xxhash64(col("v")))
+      val fused = df.groupBy("g").agg(call_function("graft_kmv", h, lit(k)).as("s"))
+        .as[(String, Seq[Long])].collect().toMap
+      val fall = df.groupBy("g").agg(composed(h, k).as("s"))
+        .as[(String, Seq[Long])].collect().toMap
+      assert(fused === fall, s"round=$round k=$k groups=$nGroups card=$card nulls=$nullPct%")
+    }
+  }
+
   test("sketch shuffle stays narrow: plan carries the k-bounded aggregate, not the values") {
     val df = fixture
     val plan = Sketches.kmvSketchBy(df, Seq("g"), "v", 16)

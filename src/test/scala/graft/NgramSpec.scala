@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** N-gram count tables + train/test contamination overlap. */
+class NgramSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ngramsWithMultiplicity: order, multiplicity, short-text edge") {
+    val got = Seq("a b a b a", "a b", "  x   y z  ", "solo")
+      .toDF("text")
+      .select(TextAnalysis.ngramsWithMultiplicity(col("text"), 2).as("g"))
+      .as[Seq[String]].collect()
+    assert(got(0) === Seq("a b", "b a", "a b", "b a")) // duplicates kept, in order
+    assert(got(1) === Seq("a b"))
+    assert(got(2) === Seq("x y", "y z"))               // multi-space + trim
+    assert(got(3) === Seq.empty)                       // fewer than n tokens
+  }
+
+  test("ngramCounts: hand-computed counts with minCount pruning") {
+    val df = Seq("the cat sat", "the cat ran", "a cat sat").toDF("text")
+    val got = TextAnalysis.ngramCounts(df, "text", n = 2, minCount = 2L)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("the cat" -> 2L, "cat sat" -> 2L))
+    val all = TextAnalysis.ngramCounts(df, "text", n = 2, minCount = 1L)
+      .as[(String, Long)].collect().toMap
+    assert(all("cat ran") === 1L && all("a cat") === 1L && all.size === 4)
+  }
+
+  test("ngramContamination: full, zero, and partial overlap, hand-computed") {
+    val corpus = Seq("the cat sat on the mat", "dogs bark loudly").toDF("text")
+    val test = Seq(
+      (1L, "the cat sat"),          // both 2-grams in corpus -> 1.0
+      (2L, "purple monkey dishes"), // none -> 0.0
+      (3L, "cat sat quietly"),      // "cat sat" yes, "sat quietly" no -> 0.5
+      (4L, "solo"))                 // no 2-grams -> absent from output
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.ngramContamination(test, corpus, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 2L, 2L, 1.0)))
+    assert(got(2L) === ((2L, 2L, 0L, 0.0)))
+    assert(got(3L) === ((3L, 2L, 1L, 0.5)))
+    assert(!got.contains(4L))
+  }
+
+  test("ngramCounts plan: map-side partial aggregation (word-count shape)") {
+    val df = Seq("a b c", "b c d").toDF("text").repartition(4)
+    val plan = TextAnalysis.ngramCounts(df, "text", 2, 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+  }
+}
