@@ -568,6 +568,15 @@ object SparkEntry {
           expr("(10000 * n_hit) div n_grams").as("overlap_bp"))
     },
 
+    // sequence packing (LLM training assembly): greedy fixed-token-budget
+    // packs in pinned (shard, id) order — the anchorSessions-shaped
+    // streaming scan; oracle = DuckDB recursive CTE.
+    "q_pack_budget" -> { (s, dir) =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))))
+      graft.agg.Packing.packBudget(d, "source", "doc_id", "n_tokens", budget = 400L)
+    },
+
     // token counting: whitespace + BPE-ish regex.
     "q_token_count" -> { (s, dir) =>
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1314,6 +1323,27 @@ object SparkEntry {
         |  GROUP BY tg.doc_id)
         |SELECT doc_id, n_grams, n_hit, (10000 * n_hit) // n_grams AS overlap_bp
         |FROM agg""".stripMargin,
+
+    // greedy budget packing re-derived row-by-row per shard (the
+    // q_anchor_sessions recursive-CTE pattern; order pinned by (source,
+    // doc_id) on both engines).
+    "q_pack_budget" ->
+      """WITH seq AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, doc_id, n_tokens, pack_idx FROM (
+        |  WITH RECURSIVE walk(source, rn, doc_id, n_tokens, used, pack_idx) AS (
+        |    SELECT source, rn, doc_id, n_tokens, n_tokens, 0 FROM seq WHERE rn = 1
+        |    UNION ALL
+        |    SELECT s.source, s.rn, s.doc_id, s.n_tokens,
+        |           CASE WHEN w.used + s.n_tokens > 400 THEN s.n_tokens
+        |                ELSE w.used + s.n_tokens END,
+        |           CASE WHEN w.used + s.n_tokens > 400 THEN w.pack_idx + 1
+        |                ELSE w.pack_idx END
+        |    FROM walk w JOIN seq s ON s.source = w.source AND s.rn = w.rn + 1)
+        |  SELECT source, doc_id, n_tokens, CAST(pack_idx AS INT) AS pack_idx FROM walk)""".stripMargin,
 
     // mirror of ImageHeaderDecoder.syntheticHeader — the round-trip oracle:
     // Spark constructs real PNG/JPEG bytes from doc_id and parses them back;

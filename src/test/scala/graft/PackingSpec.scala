@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.agg.Packing
+
+/** Greedy budget packing: hand-computed assignments, exact-fit and
+  * oversized-document edges, shard reset, partition invariance.
+  */
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def pack(rows: Seq[(String, Long, Long)], budget: Long, parts: Int = 1) =
+    Packing.packBudget(rows.toDF("shard", "id", "tokens").repartition(parts),
+        "shard", "id", "tokens", budget)
+      .as[(String, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+
+  test("hand-computed: boundaries, oversized doc, shard reset") {
+    val rows = Seq(
+      ("a", 1L, 100L), ("a", 2L, 200L), ("a", 3L, 150L), ("a", 4L, 400L), ("a", 5L, 50L),
+      ("b", 1L, 500L), // oversized: own pack
+      ("b", 2L, 100L))
+    assert(pack(rows, 400) === Map(
+      ("a", 1L) -> 0, ("a", 2L) -> 0,  // 100+200=300 fits
+      ("a", 3L) -> 1,                  // 300+150 > 400
+      ("a", 4L) -> 2,                  // 150+400 > 400
+      ("a", 5L) -> 3,                  // 400+50 > 400
+      ("b", 1L) -> 0,                  // new shard resets; oversized alone
+      ("b", 2L) -> 1))
+  }
+
+  test("exact budget fit stays in the pack; zero-token docs always fit") {
+    val rows = Seq(("s", 1L, 250L), ("s", 2L, 150L), ("s", 3L, 0L), ("s", 4L, 100L))
+    // 250+150 = 400 == budget (not >) -> same pack; +0 still 400 -> same; +100 -> new
+    assert(pack(rows, 400) === Map(
+      ("s", 1L) -> 0, ("s", 2L) -> 0, ("s", 3L) -> 0, ("s", 4L) -> 1))
+  }
+
+  test("partition invariance: 1 vs 16 input partitions") {
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 2000).map(i =>
+      (s"sh${i % 9}", i.toLong, rng.nextInt(300).toLong))
+    assert(pack(rows, 512, parts = 1) === pack(rows, 512, parts = 16))
+  }
+}

@@ -39,10 +39,16 @@ submit() { # master extra-conf... -- classArgs...
     "$@"
 }
 
-calibrate() { # -> "spin8 spin32 speedup"
+calibrate() { # -> "aluSpeedup memSpeedup"
   submit 'local[1]' --class graft.HwCalibrate "$JAR" 2>/dev/null | \
-    sed -n 's/.*"spin8_sec":\([0-9.]*\),"spin32_sec":\([0-9.]*\),"speedup_8_to_32":\([0-9.]*\).*/\1 \2 \3/p'
+    sed -n 's/.*"speedup_8_to_32":\([0-9.]*\).*"mem_speedup_8_to_32":\([0-9.]*\).*/\1 \2/p'
 }
+
+# pre-calibration BEFORE generation: the round-5 run calibrated right after
+# the 32-core gen pass and read an inflated spin8 (gen-JVM shutdown tail)
+echo "[submit-scale] hw calibration (pre)..." >&2
+read -r SPEEDUP_PRE MEM_PRE <<< "$(calibrate)"
+echo "[submit-scale] pre: alu=${SPEEDUP_PRE} mem=${MEM_PRE}" >&2
 
 echo "[submit-scale] generating ${CONVS} conversations on tmpfs..." >&2
 submit 'local[32]' --class graft.GenTranscripts "$JAR" "$CONVS" "$BASE/input" \
@@ -68,10 +74,6 @@ run_one() { # tag master shufflePartitions
   echo "$PSEC $TURNS"
 }
 
-echo "[submit-scale] hw calibration (pre)..." >&2
-read -r SPIN8_PRE SPIN32_PRE SPEEDUP_PRE <<< "$(calibrate)"
-echo "[submit-scale] pre: spin8=${SPIN8_PRE}s spin32=${SPIN32_PRE}s speedup=${SPEEDUP_PRE}" >&2
-
 N_MASTER='local-cluster[1,8,12288]'
 N4_MASTER='local-cluster[4,8,12288]'
 N_REPS=""; N4_REPS=""; TURNS=""
@@ -85,20 +87,22 @@ for rep in $(seq 1 "$REPS"); do
 done
 
 echo "[submit-scale] hw calibration (post)..." >&2
-read -r SPIN8_POST SPIN32_POST SPEEDUP_POST <<< "$(calibrate)"
-echo "[submit-scale] post: spin8=${SPIN8_POST}s spin32=${SPIN32_POST}s speedup=${SPEEDUP_POST}" >&2
+read -r SPEEDUP_POST MEM_POST <<< "$(calibrate)"
+echo "[submit-scale] post: alu=${SPEEDUP_POST} mem=${MEM_POST}" >&2
 
 N_REPS="$N_REPS" N4_REPS="$N4_REPS" TURNS="$TURNS" REPS="$REPS" \
 SPEEDUP_PRE="$SPEEDUP_PRE" SPEEDUP_POST="$SPEEDUP_POST" \
+MEM_PRE="$MEM_PRE" MEM_POST="$MEM_POST" \
 python3 - <<'PY'
 import json, os
 n = [float(x) for x in os.environ["N_REPS"].split()]
 n4 = [float(x) for x in os.environ["N4_REPS"].split()]
 pre, post = float(os.environ["SPEEDUP_PRE"]), float(os.environ["SPEEDUP_POST"])
+mpre, mpost = float(os.environ["MEM_PRE"]), float(os.environ["MEM_POST"])
 best_n, best_4n = min(n), min(n4)
 speedup = best_n / best_4n          # best-of: the least-interfered estimate per config
 raw = speedup / 4.0
-hw_speedup = (pre + post) / 2.0     # the window's measured 8->32-thread ceiling
+hw_speedup = (pre + post) / 2.0     # the window's measured 8->32-thread ALU ceiling
 ceiling = hw_speedup / 4.0
 print(json.dumps({
     "metric": "submit_scaling",
@@ -116,5 +120,8 @@ print(json.dumps({
     "hw_speedup_post": round(post, 2),
     "hw_ceiling": round(ceiling, 3),
     "normalized": round(raw / ceiling, 3),
+    "mem_speedup_8_to_32": round((mpre + mpost) / 2.0, 2),
+    "mem_speedup_pre": round(mpre, 2),
+    "mem_speedup_post": round(mpost, 2),
 }, separators=(",", ":")))
 PY
