@@ -112,7 +112,10 @@ object Bench {
       ("kmv_distinct",     SparkEntry.queries("q_kmv_distinct"),     2),
       // round-5 operators (baselines start this round)
       ("kmv_grouped",      SparkEntry.queries("q_kmv_grouped"),      2),
-      ("image_headers",    SparkEntry.queries("q_image_headers"),    2)
+      ("image_headers",    SparkEntry.queries("q_image_headers"),    2),
+      ("ngram_counts",     SparkEntry.queries("q_ngram_counts"),     2),
+      ("ngram_overlap",    SparkEntry.queries("q_ngram_overlap"),    2),
+      ("pack_budget",      SparkEntry.queries("q_pack_budget"),      2)
     )
     // best-of-N minimum = the least-interfered estimate on a host with 2-3×
     // CPU-steal storms (see BASELINE.md methodology)
