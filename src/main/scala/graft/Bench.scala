@@ -123,9 +123,9 @@ object Bench {
       val t = (1 to reps).map(_ => timed(force(fn(spark, sfDir)))._2).min
       results += name -> t
     }
-    val bestOfJson = "{\"default\":2," + singles.collect {
+    val bestOfJson = ("\"default\":2" +: singles.collect {
       case (name, _, reps) if reps != 2 => "\"" + name + s"\":$reps"
-    }.mkString(",") + "}"
+    }).mkString("{", ",", "}")
 
     // throughput-representative run: the sf-dir pipeline is dominated by
     // fixed per-stage overhead at 10^5 rows; a ~3M-turn synthetic input

@@ -70,20 +70,10 @@ object ScalingBench {
     * split over `nThreads` spin threads. No allocation, no locks, no I/O —
     * an upper bound on what any parallel job can get from these vCPUs.
     */
-  private def spinSeconds(nThreads: Int, reps: Int = 3): Double = {
-    val total = 6400000000L
-    val per   = total / nThreads
-    (1 to reps).map { _ =>
-      val t0 = System.nanoTime()
-      val ts = Array.fill(nThreads)(new Thread(() => {
-        var x = 0.0; var j = 0L
-        while (j < per) { x += math.sqrt(j.toDouble); j += 1 }
-        if (x < 0) println("")
-      }))
-      ts.foreach(_.start()); ts.foreach(_.join())
-      (System.nanoTime() - t0) / 1e9
-    }.min
-  }
+  // one shared spin workload across all three benches — a tweak to the
+  // calibration must move ScalingBench, JvmScalingBench and HwCalibrate
+  // together or their normalizations silently diverge
+  private def spinSeconds(nThreads: Int): Double = HwCalibrate.spinSeconds(nThreads)
 
   def main(args: Array[String]): Unit = {
     val nConv = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "100000").toInt

@@ -803,10 +803,23 @@ object SparkEntry {
     * executors write their part files there and the read-back must see all
     * of them.
     */
+  // per-process fallback dir, created lazily ONCE per JVM and deleted by a
+  // shutdown hook — concurrent JVMs can't collide (pid suffix) and repeated
+  // runs can't accumulate leaked artifact directories in the shared tmpdir
+  private lazy val csvFallbackBase: String = {
+    val dir = java.nio.file.Files.createTempDirectory(
+      s"graft-csv-work-${ProcessHandle.current().pid()}-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(dir))
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }))
+    dir.toString
+  }
+
   private def csvWorkDir(s: SparkSession, name: String): String = {
-    val base = s.conf.getOption("graft.workdir").getOrElse(
-      sys.props("java.io.tmpdir").stripSuffix("/") +
-        s"/graft-csv-work-${ProcessHandle.current().pid()}")
+    val base = s.conf.getOption("graft.workdir").getOrElse(csvFallbackBase)
     s"$base/$name"
   }
 

@@ -38,21 +38,29 @@ object Sketches {
     val topk = hashes
       .orderBy(col("h").bitwiseXOR(lit(Long.MinValue)).asc)
       .limit(k)
-    val two64 = 1.8446744073709552e19 // 2^64, exactly representable
     topk.agg(
         count(lit(1)).as("n_kept"),
         // max in unsigned order = the k-th smallest = last kept
         expr(s"max(h ^ ${Long.MinValue}L)").bitwiseXOR(lit(Long.MinValue)).as("kth_hash"))
       .select(col("n_kept"), col("kth_hash"),
-        round(
-          when(col("n_kept") < k, col("n_kept").cast("double"))
-            .otherwise(lit((k - 1).toDouble) * lit(two64) /
-              (col("kth_hash").cast("double") +
-                when(col("kth_hash") < 0, lit(two64)).otherwise(lit(0.0)))),
-          2).as("est"))
+        estExpr(col("n_kept"), col("kth_hash"), k).as("est"))
   }
 
   private val Two64 = 1.8446744073709552e19 // 2^64, exactly representable
+
+  /** THE estimate chain — one copy shared by the corpus-global and grouped
+    * sketches (it is oracle-critical: the DuckDB twins recompute this exact
+    * double arithmetic — [[graft.oracle.HashOracleSql.qKmvDistinctSql]] /
+    * `qKmvGroupedSql`): exact count below k, else (k-1)·2^64 / unsigned(kth),
+    * rounded 2 dp.
+    */
+  private def estExpr(nKept: Column, kth: Column, k: Int): Column =
+    round(
+      when(nKept < k, nKept.cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(Two64) /
+          (kth.cast("double") +
+            when(kth < 0, lit(Two64)).otherwise(lit(0.0)))),
+      2)
 
   /** Bottom-k distinct-hash aggregate COLUMN (the KMV sketch state): fused
     * [[graft.expr.KmvBottomK]] when the extension is installed — bounded
@@ -81,15 +89,8 @@ object Sketches {
   private def estimateCols(sketch: Column, k: Int): Seq[Column] = {
     val nKept = size(sketch).cast("long")
     val kth   = element_at(sketch, size(sketch))
-    Seq(
-      nKept.as("n_kept"),
-      kth.as("kth_hash"),
-      round(
-        when(nKept < k, nKept.cast("double"))
-          .otherwise(lit((k - 1).toDouble) * lit(Two64) /
-            (kth.cast("double") +
-              when(kth < 0, lit(Two64)).otherwise(lit(0.0)))),
-        2).as("est"))
+    Seq(nKept.as("n_kept"), kth.as("kth_hash"),
+      estExpr(nKept, kth, k).as("est"))
   }
 
   /** Per-group KMV sketch STATE: one row per group with `kmv_sketch`

@@ -172,13 +172,16 @@ object Similarity {
   private[graft] def autoSampleMod(df: DataFrame): Long = {
     val stats = df.queryExecution.optimizedPlan.stats
     // Sources with NO size estimate (RDD-backed frames, some non-file
-    // sources) report the defaultSizeInBytes sentinel (Long.MaxValue);
-    // dividing it by 256 would yield mod ~7e10 — an EMPTY quantizer train
-    // set and silently empty results. Unknown size = train on the full
-    // corpus (mod=1, the pinned-oracle semantics); callers with a known-huge
-    // statless source must pass an explicit quantizerSampleMod.
+    // sources) report the defaultSizeInBytes sentinel (Long.MaxValue) — and
+    // plan nodes ABOVE such a source report sentinel-DERIVED values (e.g. a
+    // Project scales the sentinel by the column-size ratio), so an equality
+    // check misses them. Anything beyond 2^60 bytes (an exabyte — no real
+    // corpus) is sentinel arithmetic, not a measurement: treat as unknown =
+    // train on the full corpus (mod=1, the pinned-oracle semantics);
+    // callers with a known-huge statless source must pass an explicit
+    // quantizerSampleMod.
     val estRows: Long = stats.rowCount.map(_.toLong).getOrElse {
-      if (stats.sizeInBytes >= BigInt(Long.MaxValue)) 1L
+      if (stats.sizeInBytes >= BigInt(1L << 60)) 1L
       else (stats.sizeInBytes / 256).toLong max 1L
     }
     math.max(1L, estRows / IvfAutoTrainTarget)

@@ -96,10 +96,22 @@ object Enrich {
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // __val as the FINAL sort key (asc, nulls first — left rows carry null):
     // among duplicate updates at one (key, ts) the running `last` then picks
-    // the maximum value struct — the deterministic tie-break documented above
+    // the maximum value struct — the deterministic tie-break documented
+    // above. Unorderable value types (maps) cannot participate in an ORDER
+    // BY at all, so for those the tie-break falls back to arrival order
+    // (duplicate updates at one (key, ts) then resolve arbitrarily — the
+    // pre-round-5 behavior; pre-aggregate to unique (key, ts) to pin it).
+    val valsOrderable = valueCols.forall { c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(right.schema(c).dataType)
+    }
+    val orderCols =
+      if (valsOrderable)
+        Seq(col("__ts").asc, col("__side").asc, col("__val").asc_nulls_first)
+      else Seq(col("__ts").asc, col("__side").asc)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyC: _*)
-      .orderBy(col("__ts").asc, col("__side").asc, col("__val").asc_nulls_first)
+      .orderBy(orderCols: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     unioned
       .withColumn("__asof", last(col("__val"), ignoreNulls = true).over(w))

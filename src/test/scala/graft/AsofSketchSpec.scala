@@ -128,6 +128,15 @@ class AsofSketchSpec extends AnyFunSuite {
     assert(run(2, 16) === expected)
   }
 
+  test("asOfJoin accepts unorderable (map) value columns — arrival-order tie-break fallback") {
+    val left = Seq(("a", 1, 10L), ("a", 2, 3L)).toDF("k", "idx", "ts")
+    val right = Seq(("a", 5L, Map("cfg" -> "v1"))).toDF("k", "ts", "attrs")
+    val out = Enrich.asOfJoin(left, right, Seq("k"), "ts", Seq("attrs"))
+      .orderBy("idx").collect()
+    assert(out(0).getMap[String, String](3).get("cfg").contains("v1"))
+    assert(out(1).isNullAt(3)) // event before the update
+  }
+
   test("rangeJoinBinned fails LOUDLY on an interval spanning more than maxBinsPerInterval bins") {
     val eDf = Seq(("k", 1, new java.sql.Timestamp(1000L))).toDF("k", "eid", "ts")
     // one year-long interval at binSec=60 -> ~526k bins >> the cap

@@ -48,6 +48,10 @@ calibrate() { # -> "aluSpeedup memSpeedup"
 # the 32-core gen pass and read an inflated spin8 (gen-JVM shutdown tail)
 echo "[submit-scale] hw calibration (pre)..." >&2
 read -r SPEEDUP_PRE MEM_PRE <<< "$(calibrate)"
+# fail NOW, not after the ~45-min measurement: an empty read means the
+# calibration submit died or its JSON shape drifted from the sed pattern
+[ -n "${SPEEDUP_PRE:-}" ] && [ -n "${MEM_PRE:-}" ] || {
+  echo "FAIL: pre-calibration produced no parsable output" >&2; exit 1; }
 echo "[submit-scale] pre: alu=${SPEEDUP_PRE} mem=${MEM_PRE}" >&2
 
 echo "[submit-scale] generating ${CONVS} conversations on tmpfs..." >&2
@@ -88,6 +92,11 @@ done
 
 echo "[submit-scale] hw calibration (post)..." >&2
 read -r SPEEDUP_POST MEM_POST <<< "$(calibrate)"
+# a dead post-calibration must not discard the completed measurement:
+# fall back to the pre values and say so
+[ -n "${SPEEDUP_POST:-}" ] && [ -n "${MEM_POST:-}" ] || {
+  echo "WARN: post-calibration produced no parsable output; reusing pre" >&2
+  SPEEDUP_POST="$SPEEDUP_PRE"; MEM_POST="$MEM_PRE"; }
 echo "[submit-scale] post: alu=${SPEEDUP_POST} mem=${MEM_POST}" >&2
 
 N_REPS="$N_REPS" N4_REPS="$N4_REPS" TURNS="$TURNS" REPS="$REPS" \
