@@ -46,6 +46,15 @@ class NgramSpec extends AnyFunSuite {
     assert(!got.contains(4L))
   }
 
+  test("ngramContamination plan: equi-join only, never nested-loop/cartesian") {
+    val corpus = Seq("a b c").toDF("text")
+    val test = Seq((1L, "a b")).toDF("doc_id", "text")
+    val plan = TextAnalysis.ngramContamination(test, corpus, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
   test("ngramCounts plan: map-side partial aggregation (word-count shape)") {
     val df = Seq("a b c", "b c d").toDF("text").repartition(4)
     val plan = TextAnalysis.ngramCounts(df, "text", 2, 1L)

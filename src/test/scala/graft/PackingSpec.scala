@@ -37,6 +37,19 @@ class PackingSpec extends AnyFunSuite {
       ("s", 1L) -> 0, ("s", 2L) -> 0, ("s", 3L) -> 0, ("s", 4L) -> 1))
   }
 
+  test("plan shape: exactly ONE exchange (the shard repartition), streaming scan after") {
+    val df = (0 until 100).map(i => (s"s${i % 3}", i.toLong, 10L))
+      .toDF("shard", "id", "tokens").repartition(4)
+    val plan = Packing.packBudget(df, "shard", "id", "tokens", 100)
+      .queryExecution.executedPlan.toString
+    // the input repartition(4) is below the shard exchange; the operator
+    // itself must add exactly one hash exchange on __sh and nothing else
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected one hash exchange:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      s"unexpected heavyweight operator:\n$plan")
+  }
+
   test("partition invariance: 1 vs 16 input partitions") {
     val rng = new scala.util.Random(23)
     val rows = (0 until 2000).map(i =>
