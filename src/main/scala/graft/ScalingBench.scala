@@ -76,13 +76,19 @@ object ScalingBench {
   private def spinSeconds(nThreads: Int): Double = HwCalibrate.spinSeconds(nThreads)
 
   def main(args: Array[String]): Unit = {
-    val nConv = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "100000").toInt
     val base =
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
         java.nio.file.Files.createTempDirectory(
           java.nio.file.Paths.get("/dev/shm"), "graft-scaling").toString
       else java.nio.file.Files.createTempDirectory("graft-scaling").toString
     localDir = s"$base/spark-local"
+    // same finally-cleanup discipline as JvmScalingBench: the base dir holds
+    // a multi-hundred-MB RAM-backed input; leaking it eats shared memory
+    try { run(base) } finally { rmrf(base) }
+  }
+
+  private def run(base: String): Unit = {
+    val nConv = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "100000").toInt
     val tmp   = base
     val input = s"$tmp/transcripts"
 
