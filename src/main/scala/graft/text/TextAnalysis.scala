@@ -203,4 +203,38 @@ object TextAnalysis {
         coalesce(sum(col("__hit")), lit(0L)).cast("long").as("n_hit"))
       .withColumn("overlap", col("n_hit") / col("n_grams"))
   }
+
+  /** Decontamination SCALE path: the corpus n-gram set folded into a BLOOM
+    * FILTER (one aggregation pass — `DataFrameStatFunctions.bloomFilter`,
+    * an order-independent OR of hash bits, so the bitmap is deterministic
+    * for a given (expectedItems, fpp)), broadcast once, probed map-only on
+    * the test side. NO shuffle join at all — where [[ngramContamination]]
+    * shuffles the full corpus gram table on the gram key, this ships a
+    * bitmap sized by fpp (~1.2 GB at 10^9 grams / 1% fpp) and the test
+    * pass never exchanges.
+    *
+    * Semantics: NO false negatives ever (a contaminated gram is never
+    * missed — the guarantee decontamination actually needs); `n_hit` is
+    * biased UP by at most ~fpp·n_grams, so `overlap` upper-bounds the exact
+    * value. Not oracle-able (the bitmap layout is Spark's sketch impl);
+    * NgramSpec pins hit-superset vs the exact join and the fp-rate bound
+    * instead. Probe cost is O(1) hashes per gram through a [[graft.util.Bc]]
+    * per-task cache (never `bc.value` per row).
+    */
+  def ngramContaminationBloom(test: DataFrame, corpus: DataFrame, idCol: String,
+                              textCol: String, n: Int,
+                              expectedItems: Long, fpp: Double): DataFrame = {
+    val cGrams = corpus
+      .select(explode(ngramsWithMultiplicity(col(textCol), n)).as("ngram"))
+    val bloom = cGrams.stat.bloomFilter("ngram", expectedItems, fpp)
+    val bc = graft.util.Bc(
+      test.sparkSession.sparkContext.broadcast(bloom))
+    val probe = udf { s: String => bc.get.mightContainString(s) }
+    test.select(col(idCol),
+        explode(array_distinct(ngramsWithMultiplicity(col(textCol), n))).as("ngram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(probe(col("ngram")).cast("long")).as("n_hit"))
+      .withColumn("overlap", col("n_hit") / col("n_grams"))
+  }
 }

@@ -55,6 +55,37 @@ class NgramSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
   }
 
+  test("bloom decontamination: hit-superset of exact (no false negatives), fp rate bounded, join-free plan") {
+    val rng = new scala.util.Random(31)
+    val corpus = (0 until 400).map(i =>
+      s"corpus token ${rng.nextInt(500)} word ${rng.nextInt(500)}").toDF("text")
+    val test = (0 until 120).map { i =>
+      val t = if (i % 3 == 0) s"corpus token ${rng.nextInt(500)}" // likely overlap
+              else s"novel gram ${i} never seen ${i * 7}"
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val exact = TextAnalysis.ngramContamination(test, corpus, "doc_id", "text", 2)
+      .select("doc_id", "n_grams", "n_hit").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val bloomDf = TextAnalysis.ngramContaminationBloom(
+      test, corpus, "doc_id", "text", n = 2, expectedItems = 5000L, fpp = 0.01)
+    val bloom = bloomDf.select("doc_id", "n_grams", "n_hit").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(bloom.keySet === exact.keySet)
+    var extraHits = 0L; var totalGrams = 0L
+    exact.foreach { case (id, (_, ng, hitEx)) =>
+      val (_, ngB, hitB) = bloom(id)
+      assert(ngB === ng, s"doc $id gram counts differ")
+      assert(hitB >= hitEx, s"doc $id: bloom missed a contaminated gram (false negative)")
+      extraHits += hitB - hitEx; totalGrams += ng
+    }
+    // fp rate across all probed grams stays within ~5x the configured 1%
+    assert(extraHits.toDouble / totalGrams < 0.05,
+      s"fp rate ${extraHits.toDouble / totalGrams} too high")
+    val plan = bloomDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"bloom path must be join-free:\n$plan")
+  }
+
   test("ngramCounts plan: map-side partial aggregation (word-count shape)") {
     val df = Seq("a b c", "b c d").toDF("text").repartition(4)
     val plan = TextAnalysis.ngramCounts(df, "text", 2, 1L)
