@@ -25,12 +25,21 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   /** @param tokensCol per-document token count column (any numeric)
+    * @param maxDocsPerShard loud skew guard: one shard = one task is inherent
+    *        to the streaming-scan semantics, so a pathological shard key
+    *        (e.g. a constant) would silently serialize the whole corpus into
+    *        one task. Past the cap the scan THROWS with the shard name —
+    *        inside the same per-partition scan, so no plan rewrite can prune
+    *        it (the `rangeJoinBinned` fail-loud pattern). Raise it only with
+    *        a shard key you know is bounded.
     * @return input columns (shard cast string, id cast long, tokens cast
     *         long) + `pack_idx` (0-based per shard)
     */
   def packBudget(df: DataFrame, shardCol: String, idCol: String,
-                 tokensCol: String, budget: Long): DataFrame = {
+                 tokensCol: String, budget: Long,
+                 maxDocsPerShard: Long = 10000000L): DataFrame = {
     require(budget > 0, "budget must be positive")
+    require(maxDocsPerShard > 0, "maxDocsPerShard must be positive")
     import df.sparkSession.implicits._
     val slim = df.select(
         col(shardCol).cast("string").as("__sh"),
@@ -43,8 +52,16 @@ object Packing {
       var cur: String = null
       var used = 0L
       var pack = -1
+      var inShard = 0L
       it.map { case (sh, id, tk) =>
-        if (sh != cur) { cur = sh; used = 0L; pack = -1 }
+        if (sh != cur) { cur = sh; used = 0L; pack = -1; inShard = 0L }
+        inShard += 1
+        if (inShard > maxDocsPerShard)
+          throw new IllegalStateException(
+            s"packBudget: shard '$sh' exceeds maxDocsPerShard=$maxDocsPerShard " +
+              "documents — one shard streams through one task by construction, " +
+              "so a shard this large serializes the job; use a finer shard key " +
+              "or raise the cap explicitly")
         if (pack < 0 || used + tk > budget) { pack += 1; used = tk }
         else used += tk
         (sh, id, tk, pack)

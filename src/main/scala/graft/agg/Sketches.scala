@@ -72,14 +72,28 @@ object Sketches {
     * Both forms emit the k smallest distinct hashes in unsigned ascending
     * order as `array<long>`.
     */
-  def bottomKHashes(h: Column, k: Int): Column = {
-    val fused = org.apache.spark.sql.SparkSession.getActiveSession
-      .exists(graft.expr.VectorFunctions.available)
+  def bottomKHashes(h: Column, k: Int, session: org.apache.spark.sql.SparkSession): Column = {
+    val fused = graft.expr.VectorFunctions.available(session)
     if (fused) call_function("graft_kmv", h, lit(k))
     else transform(
       slice(sort_array(collect_set(h.bitwiseXOR(lit(Long.MinValue)))), 1, k),
       x => x.bitwiseXOR(lit(Long.MinValue)))
   }
+
+  /** Active-session overload. In a multi-session JVM prefer the explicit
+    * overload with the DataFrame's OWN session (as [[kmvSketchBy]] /
+    * [[kmvMergeSketches]] do): the active session's function registry can
+    * disagree with the session that will analyze the plan, yielding either
+    * an AnalysisException (graft_kmv unresolvable) or a silent fall-back to
+    * the unbounded `collect_set` buffer.
+    */
+  def bottomKHashes(h: Column, k: Int): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) => bottomKHashes(h, k, s)
+      case None => transform(
+        slice(sort_array(collect_set(h.bitwiseXOR(lit(Long.MinValue)))), 1, k),
+        x => x.bitwiseXOR(lit(Long.MinValue)))
+    }
 
   /** Estimate columns from a sketch array (`n_kept`, `kth_hash`, `est` —
     * the same arithmetic as [[kmvDistinct]], and the same DuckDB-exact
@@ -109,7 +123,7 @@ object Sketches {
     require(groupCols.nonEmpty, "use kmvDistinct for the corpus-global sketch")
     df.filter(col(c).isNotNull)
       .groupBy(groupCols.map(col): _*)
-      .agg(bottomKHashes(xxhash64(col(c)), k).as("kmv_sketch"))
+      .agg(bottomKHashes(xxhash64(col(c)), k, df.sparkSession).as("kmv_sketch"))
   }
 
   /** Combine partial per-group sketches (e.g. one per day/shard): union the
@@ -120,7 +134,7 @@ object Sketches {
                        sketchCol: String, k: Int): DataFrame =
     df.select(groupCols.map(col) :+ explode(col(sketchCol)).as("__h"): _*)
       .groupBy(groupCols.map(col): _*)
-      .agg(bottomKHashes(col("__h"), k).as("kmv_sketch"))
+      .agg(bottomKHashes(col("__h"), k, df.sparkSession).as("kmv_sketch"))
 
   /** Per-group distinct-count estimate — the 100 TB use case (distinct users
     * per template, distinct templates per tool): one row per group with

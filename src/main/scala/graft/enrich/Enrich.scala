@@ -75,7 +75,10 @@ object Enrich {
     *  - multiple updates on one (key, ts) resolve DETERMINISTICALLY to the
     *    maximum `valueCols` struct (field-order lexicographic) — pinned by
     *    ordering the running window on the value struct as the final key, so
-    *    the result is partition- and shuffle-order-invariant. DuckDB's native
+    *    the result is partition- and shuffle-order-invariant. Unorderable
+    *    value types (maps) tie-break on `xxhash64(to_json(value struct))`
+    *    instead — still a pure function of the value, so equally
+    *    deterministic (AsofSketchSpec pins both cases). DuckDB's native
     *    ASOF is ambiguous on such ties (which is why the q_asof_enrich oracle
     *    pre-aggregates to unique (key, ts)); AsofSketchSpec pins the
     *    duplicate-update case against a hand-computed expectation instead;
@@ -98,17 +101,19 @@ object Enrich {
     // among duplicate updates at one (key, ts) the running `last` then picks
     // the maximum value struct — the deterministic tie-break documented
     // above. Unorderable value types (maps) cannot participate in an ORDER
-    // BY at all, so for those the tie-break falls back to arrival order
-    // (duplicate updates at one (key, ts) then resolve arbitrarily — the
-    // pre-round-5 behavior; pre-aggregate to unique (key, ts) to pin it).
+    // BY at all, so for those the tie-break orders by xxhash64(to_json(__val))
+    // instead — a canonical serialization hash, a pure function of each row's
+    // value, so the winner is still partition- and shuffle-order-invariant
+    // (which struct wins is arbitrary-but-PINNED rather than max; the
+    // orderable path keeps the semantically meaningful max tie-break).
     val valsOrderable = valueCols.forall { c =>
       org.apache.spark.sql.catalyst.expressions.RowOrdering
         .isOrderable(right.schema(c).dataType)
     }
-    val orderCols =
-      if (valsOrderable)
-        Seq(col("__ts").asc, col("__side").asc, col("__val").asc_nulls_first)
-      else Seq(col("__ts").asc, col("__side").asc)
+    val valTie =
+      if (valsOrderable) col("__val").asc_nulls_first
+      else xxhash64(to_json(col("__val"))).asc_nulls_first
+    val orderCols = Seq(col("__ts").asc, col("__side").asc, valTie)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyC: _*)
       .orderBy(orderCols: _*)

@@ -149,7 +149,11 @@ object TextAnalysis {
     * semantics). Joined by single spaces. The outer `element_at(transform(
     * array(...)))` let-binds the token array so the per-position lambdas
     * don't re-split the text per n-gram (the documented O(n²) HOF pitfall).
-    * Fewer than n tokens → empty array.
+    * Fewer than n tokens → empty array. Empty/whitespace-only text → empty
+    * array for EVERY n, including n=1: `split("")` yields `[""]`, which
+    * would otherwise emit one empty-string unigram into count tables — the
+    * empty-gram filter drops it (real tokens from a `\s+` split are never
+    * empty, so the filter is a no-op on non-degenerate input).
     */
   def ngramsWithMultiplicity(text: Column, n: Int): Column =
     element_at(
@@ -157,7 +161,7 @@ object TextAnalysis {
         filter(
           transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
             i => when(i + n <= size(toks), array_join(slice(toks, i + 1, lit(n)), " "))),
-          x => x.isNotNull)),
+          x => x.isNotNull && x =!= lit(""))),
       1)
 
   /** N-gram COUNT TABLE over a corpus (language-model counts, contamination

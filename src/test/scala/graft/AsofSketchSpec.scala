@@ -128,13 +128,32 @@ class AsofSketchSpec extends AnyFunSuite {
     assert(run(2, 16) === expected)
   }
 
-  test("asOfJoin accepts unorderable (map) value columns — arrival-order tie-break fallback") {
+  test("asOfJoin accepts unorderable (map) value columns — canonical-hash tie-break") {
     val left = Seq(("a", 1, 10L), ("a", 2, 3L)).toDF("k", "idx", "ts")
     val right = Seq(("a", 5L, Map("cfg" -> "v1"))).toDF("k", "ts", "attrs")
     val out = Enrich.asOfJoin(left, right, Seq("k"), "ts", Seq("attrs"))
       .orderBy("idx").collect()
     assert(out(0).getMap[String, String](3).get("cfg").contains("v1"))
     assert(out(1).isNullAt(3)) // event before the update
+  }
+
+  test("asOfJoin: duplicate map-valued updates at one (key, ts) pin to ONE winner across partitionings") {
+    // maps are unorderable, so the max-struct tie-break can't apply; the
+    // xxhash64(to_json(...)) tie-break must still make the winner a pure
+    // function of the DATA — identical across input order and partitioning
+    val left = Seq(("a", 1, 10L)).toDF("k", "idx", "ts")
+    val updates = Seq(
+      ("a", 10L, Map("cfg" -> "v1")),
+      ("a", 10L, Map("cfg" -> "v2")),
+      ("a", 10L, Map("cfg" -> "v3")))
+    def winner(order: Seq[(String, Long, Map[String, String])], parts: Int): String =
+      Enrich.asOfJoin(left, order.toDF("k", "ts", "attrs").repartition(parts),
+          Seq("k"), "ts", Seq("attrs"))
+        .select("attrs").collect()(0).getMap[String, String](0)("cfg")
+    val w = winner(updates, 1)
+    assert(winner(updates.reverse, 1) === w)
+    assert(winner(updates, 7) === w)
+    assert(winner(scala.util.Random.shuffle(updates), 16) === w)
   }
 
   test("rangeJoinBinned fails LOUDLY on an interval spanning more than maxBinsPerInterval bins") {

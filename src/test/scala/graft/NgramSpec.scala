@@ -20,6 +20,17 @@ class NgramSpec extends AnyFunSuite {
     assert(got(3) === Seq.empty)                       // fewer than n tokens
   }
 
+  test("ngramsWithMultiplicity n=1: unigrams in order; empty/whitespace text yields NO empty gram") {
+    val got = Seq("a b a", "", "   ", "solo")
+      .toDF("text")
+      .select(TextAnalysis.ngramsWithMultiplicity(col("text"), 1).as("g"))
+      .as[Seq[String]].collect()
+    assert(got(0) === Seq("a", "b", "a"))
+    assert(got(1) === Seq.empty) // split("") = [""] must not leak a "" unigram
+    assert(got(2) === Seq.empty)
+    assert(got(3) === Seq("solo"))
+  }
+
   test("ngramCounts: hand-computed counts with minCount pruning") {
     val df = Seq("the cat sat", "the cat ran", "a cat sat").toDF("text")
     val got = TextAnalysis.ngramCounts(df, "text", n = 2, minCount = 2L)

@@ -50,6 +50,24 @@ class PackingSpec extends AnyFunSuite {
       s"unexpected heavyweight operator:\n$plan")
   }
 
+  test("fails LOUDLY when one shard exceeds maxDocsPerShard (silent serialization guard)") {
+    // constant shard key: every doc lands in one task — the pathological case
+    val rows = (0 until 50).map(i => ("hot", i.toLong, 10L))
+      .toDF("shard", "id", "tokens")
+    val ex = intercept[Exception] {
+      Packing.packBudget(rows, "shard", "id", "tokens", budget = 100,
+        maxDocsPerShard = 20).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("maxDocsPerShard")),
+      s"expected the guard to name itself, got: ${messages(ex)}")
+    // a raised cap admits the same shard, packing unchanged
+    val ok = Packing.packBudget(rows, "shard", "id", "tokens", budget = 100,
+      maxDocsPerShard = 50).collect()
+    assert(ok.length === 50)
+  }
+
   test("partition invariance: 1 vs 16 input partitions") {
     val rng = new scala.util.Random(23)
     val rows = (0 until 2000).map(i =>

@@ -312,6 +312,15 @@ def sum_seq(xs, f):
         s += f(x)
     return s
 
+def _kth_denominator(kth_unsigned):
+    """Exact JVM chain for the KMV estimate denominator: Scala/DuckDB compute
+    double(SIGNED kth) + 2^64-when-negative — two double ops — not
+    double(unsigned kth) in one step. float(unsigned) rounds once where the
+    JVM rounds the signed value first, so hashes within half an ulp of a
+    rounding boundary could diverge; mirror the two-step chain exactly."""
+    sk = signed64(kth_unsigned)
+    return float(sk) + (1.8446744073709552e19 if sk < 0 else 0.0)
+
 def supp_kmv_distinct(con, k=64):
     """Exact port of graft.agg.Sketches.kmvDistinct(documents.text, k=64):
     XXH64(seed 42) over distinct texts, k smallest unsigned, (k-1)*2^64/h_k."""
@@ -320,7 +329,8 @@ def supp_kmv_distinct(con, k=64):
     hs = sorted({xxh64_bytes(t.encode("utf-8"), 42) for t in texts})[:k]
     n_kept = len(hs)
     kth = hs[-1]
-    est = float(n_kept) if n_kept < k else (k - 1) * 1.8446744073709552e19 / float(kth)
+    est = float(n_kept) if n_kept < k else \
+        (k - 1) * 1.8446744073709552e19 / _kth_denominator(kth)
     import decimal
     est2 = float(decimal.Decimal(repr(est)).quantize(
         decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP))
@@ -343,7 +353,7 @@ def supp_kmv_grouped(con, k=64):
         n_kept = len(hs)
         kth = hs[-1]
         est = float(n_kept) if n_kept < k else \
-            (k - 1) * 1.8446744073709552e19 / float(kth)
+            (k - 1) * 1.8446744073709552e19 / _kth_denominator(kth)
         est2 = float(decimal.Decimal(repr(est)).quantize(
             decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP))
         out.append((g, n_kept, signed64(kth), est2))
