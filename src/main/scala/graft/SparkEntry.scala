@@ -538,6 +538,14 @@ object SparkEntry {
         Dedup.connectedComponents(pairs), "vec_id")
     },
 
+    // SPAN-level exact dedup (Lee et al. ACL'22): non-overlapping 3-token
+    // spans, md5 fingerprints, first global (doc_id, span_idx) occurrence
+    // kept, documents reassembled from kept spans. One fp exchange, no join.
+    "q_span_dedup" -> { (s, dir) =>
+      Dedup.spanDedupDocs(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", spanTokens = 3)
+    },
+
     // language-ID + quality scoring.
     "q_lang_quality" -> { (s, dir) =>
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1225,6 +1233,31 @@ object SparkEntry {
         |g AS (SELECT s AS id, min(m) AS rep FROM reach GROUP BY s)
         |SELECT e.vec_id FROM embeddings e
         |WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.id = e.vec_id AND g.rep <> g.id)""".stripMargin,
+
+    // span dedup: DuckDB rebuilds the same non-overlapping 3-token spans,
+    // ranks identical spans by (doc_id, span_idx) in a window over the md5
+    // fingerprint, and reassembles kept spans per document. string_agg skips
+    // the NULLed duplicate spans; a fully-duplicate doc coalesces to ''.
+    "q_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |spans AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, (len(t) + 2) // 3)) AS span_idx,
+        |         unnest(list_transform(range(0, (len(t) + 2) // 3),
+        |                i -> array_to_string(t[i*3+1:i*3+3], ' '))) AS span_text
+        |  FROM toks),
+        |v AS (
+        |  SELECT doc_id, span_idx, span_text,
+        |         row_number() OVER (PARTITION BY md5(span_text)
+        |                            ORDER BY doc_id, span_idx) AS rn
+        |  FROM spans)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN span_text END, ' '
+        |                      ORDER BY span_idx), '') AS dedup_text
+        |FROM v GROUP BY doc_id""".stripMargin,
 
     "q_lang_quality" ->
       """WITH f AS (

@@ -339,6 +339,65 @@ object Dedup {
       groups.filter(col("id") =!= col("group_rep")).select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** SPAN-LEVEL exact dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL'22 — public): training corpora repeat
+    * SPANS across documents (boilerplate, licenses, quoted passages), and
+    * doc-level dedup ([[exact]], MinHash) never sees them. Each document is
+    * chunked into NON-OVERLAPPING `spanTokens`-token spans (the last span
+    * keeps the remainder), each span is fingerprinted (md5 — fixed-width
+    * key, the raw span text is never a shuffle key), and a span is a
+    * DUPLICATE iff an identical span occurs strictly earlier in the global
+    * (id, span_idx) order — the first occurrence is always kept, so the
+    * distinct span multiset is preserved exactly (SpanDedupSpec pins both).
+    *
+    * Scale shape: the verdict is a `row_number` window PARTITIONED BY the
+    * fingerprint — ONE exchange on a fixed-width key and a streaming
+    * first-wins scan per fp group; no join, no all-pairs, no second pass
+    * over the corpus (PlanSpec asserts the no-join plan). A pathological fp
+    * group (one span repeated 10⁹ times) is a single partition's streaming
+    * scan, not a fan-out.
+    *
+    * Output: one row per span — (id, span_idx, span_text, fp, is_dup).
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                spanTokens: Int): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val k = spanTokens
+    // let-bound token array (the documented O(n²) HOF pitfall); span i covers
+    // tokens [i·k+1, i·k+k], 1-based, slice clips the tail remainder
+    val spansArr = element_at(
+      transform(array(split(trim(col(textCol)), "\\s+")), toks =>
+        transform(sequence(lit(0L), floor((size(toks) + (k - 1)) / lit(k.toDouble)).cast("long") - 1),
+          i => array_join(slice(toks, (i * k + 1).cast("int"), lit(k)), " "))),
+      1)
+    val spans = df.select(col(idCol).as("id"),
+        posexplode(spansArr).as(Seq("span_idx", "span_text")))
+      .withColumn("fp", md5(col("span_text")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("id"), col("span_idx"))
+    spans.withColumn("is_dup", row_number().over(w) > 1)
+  }
+
+  /** [[spanDedup]] folded back to documents — the "mask repeated spans and
+    * reassemble" form a pretraining pipeline actually writes: per document,
+    * the span counts and the text rebuilt from KEPT spans only (span order
+    * preserved; a fully-duplicate document rebuilds to the empty string and
+    * is a downstream length-filter drop). One additional exchange (by id).
+    */
+  def spanDedupDocs(df: DataFrame, idCol: String, textCol: String,
+                    spanTokens: Int): DataFrame =
+    spanDedup(df, idCol, textCol, spanTokens)
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_spans"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("is_dup"), struct(col("span_idx"), col("span_text"))))),
+            s => s.getField("span_text")),
+          " ").as("dedup_text"))
+
   /** Embedding-cosine near-dup pairs, brute force. SMALL-CORPUS ORACLE ONLY:
     * the self-join on `id_a < id_b` plans as a nested-loop cross product —
     * it exists to ground-truth [[embeddingLshPairs]] (the scale path) in
