@@ -555,6 +555,18 @@ object SparkEntry {
           "stopword_ratio", "alpha_ratio", "quality_score")
     },
 
+    // Gopher-style quality rule set (Rae et al. 2021) over a deterministic
+    // 7-token-per-line reflow of the single-line corpus (so the line-based
+    // rules are non-degenerate); one codegen'd projection.
+    "q_quality_rules" -> { (s, dir) =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("lined", TextAnalysis.reflowLines(col("text"), 7))
+      TextAnalysis.gopherQualityRules(d, "lined")
+        .select("doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+          "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+          "dup_line_frac", "gopher_pass")
+    },
+
     // n-gram LM count table with min-count pruning (the canonical word-count
     // plan: explode + two-level hash agg).
     "q_ngram_counts" -> { (s, dir) =>
@@ -1337,6 +1349,42 @@ object SparkEntry {
         |  CAST((ascii(substr(md5(text), 5, 1)) * 256 + ascii(substr(md5(text), 6, 1))) * 10 AS INT) AS duration_ms,
         |  md5(text) AS digest
         |FROM documents""".stripMargin,
+
+    // Gopher rules: DuckDB rebuilds the identical 7-token reflow, then the
+    // same feature chain (rounded 4dp with the same op order) and the same
+    // threshold conjunction over the ROUNDED features.
+    "q_quality_rules" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(range(0, (len(t) + 6) // 7),
+        |      i -> array_to_string(t[i*7+1:i*7+7], ' ')), chr(10)) AS lx
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents)),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(lx), '\s+')) AS INT) AS n_words,
+        |    round(length(regexp_replace(lx, '\s+', '', 'g')) * 1.0 /
+        |          greatest(len(regexp_split_to_array(trim(lx), '\s+')), 1), 4) AS mean_word_len,
+        |    round(((length(lx) - length(replace(lx, '#', ''))) +
+        |           (length(lx) - length(replace(lx, '...', ''))) / 3.0) /
+        |          greatest(len(regexp_split_to_array(trim(lx), '\s+')), 1), 4) AS symbol_word_ratio,
+        |    round(len(list_filter(string_split(lx, chr(10)),
+        |          l -> substr(l, 1, 2) = '- ' OR substr(l, 1, 2) = '* ')) * 1.0 /
+        |          greatest(len(string_split(lx, chr(10))), 1), 4) AS bullet_line_frac,
+        |    round(len(list_filter(string_split(lx, chr(10)), l -> l LIKE '%...')) * 1.0 /
+        |          greatest(len(string_split(lx, chr(10))), 1), 4) AS ellipsis_line_frac,
+        |    round(len(list_filter(regexp_split_to_array(trim(lx), '\s+'),
+        |          w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 /
+        |          greatest(len(regexp_split_to_array(trim(lx), '\s+')), 1), 4) AS alpha_word_frac,
+        |    round(1.0 - len(list_distinct(string_split(lx, chr(10)))) * 1.0 /
+        |          greatest(len(string_split(lx, chr(10))), 1), 4) AS dup_line_frac
+        |  FROM lined)
+        |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+        |  ellipsis_line_frac, alpha_word_frac, dup_line_frac,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND symbol_word_ratio < 0.1 AND bullet_line_frac < 0.9
+        |   AND ellipsis_line_frac < 0.3 AND alpha_word_frac >= 0.8
+        |   AND dup_line_frac < 0.3) AS gopher_pass
+        |FROM f""".stripMargin,
 
     "q_ngram_counts" ->
       """WITH toks AS (

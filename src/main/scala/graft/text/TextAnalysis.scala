@@ -75,6 +75,75 @@ object TextAnalysis {
             least(col("stopword_ratio") * lit(4.0), lit(1.0)) * lit(0.2)), 4))
   }
 
+  /** Reflow text into fixed-token lines: tokens chunked `perLine` at a time,
+    * chunks joined by newline. Deterministic layout for line-based quality
+    * rules over single-line corpora (and a test fixture generator for
+    * [[gopherQualityRules]]); the last line keeps the remainder.
+    */
+  def reflowLines(text: Column, perLine: Int): Column = {
+    require(perLine >= 1, s"perLine must be >= 1, got $perLine")
+    element_at(
+      transform(array(split(trim(text), "\\s+")), toks =>
+        array_join(
+          transform(
+            sequence(lit(0L),
+              floor((size(toks) + (perLine - 1)) / lit(perLine.toDouble)).cast("long") - 1),
+            i => array_join(slice(toks, (i * perLine + 1).cast("int"), lit(perLine)), " ")),
+          "\n")),
+      1)
+  }
+
+  /** Gopher-style repetition/format quality rules (Rae et al. 2021, §A1.1 —
+    * public): per document, the rule features and a composite pass flag.
+    * All PURE column expressions (one codegen'd projection, embarrassingly
+    * parallel — the 100 TB shape for per-doc filters).
+    *
+    * Features (ratios rounded 4dp, the repo's cross-engine float pin):
+    *  - `n_words`, `mean_word_len` — whitespace words over ALL lines;
+    *  - `symbol_word_ratio` — ('#' count + '...' count) / words;
+    *  - `bullet_line_frac` / `ellipsis_line_frac` — lines starting '- '/'* '
+    *    resp. ending '...';
+    *  - `alpha_word_frac` — words containing an alphabetic char;
+    *  - `dup_line_frac` — 1 − distinct/total lines (exact in-row repetition).
+    *
+    * `gopher_pass` = words ∈ [minWords, maxWords] ∧ mean_word_len ∈ [3, 10]
+    * ∧ symbol_word_ratio < 0.1 ∧ bullet < 0.9 ∧ ellipsis < 0.3 ∧ alpha ≥ 0.8
+    * ∧ dup_line_frac < 0.3 — the published thresholds (doc-level subset; the
+    * n-gram repetition family lives in [[ngramCounts]]/[[graft.dedup.Dedup.spanDedup]]).
+    */
+  def gopherQualityRules(df: DataFrame, textCol: String,
+                         minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t     = col(textCol)
+    val words = split(trim(t), "\\s+")
+    val lines = split(t, "\n")
+    val nw    = greatest(size(words), lit(1))
+    val nl    = greatest(size(lines), lit(1))
+    val nHash     = length(t) - length(regexp_replace(t, "#", ""))
+    val nEllipsis = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / lit(3)
+    df.withColumn("n_words", size(words))
+      .withColumn("mean_word_len",
+        round(length(regexp_replace(t, "\\s+", "")).cast("double") / nw, 4))
+      .withColumn("symbol_word_ratio",
+        round((nHash + nEllipsis).cast("double") / nw, 4))
+      .withColumn("bullet_line_frac",
+        round(size(filter(lines, l =>
+          substring(l, 1, 2) === "- " || substring(l, 1, 2) === "* ")).cast("double") / nl, 4))
+      .withColumn("ellipsis_line_frac",
+        round(size(filter(lines, l => l.endsWith("..."))).cast("double") / nl, 4))
+      .withColumn("alpha_word_frac",
+        round(size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nw, 4))
+      .withColumn("dup_line_frac",
+        round(lit(1.0) - size(array_distinct(lines)).cast("double") / nl, 4))
+      .withColumn("gopher_pass",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_word_ratio") < 0.1 &&
+          col("bullet_line_frac") < 0.9 &&
+          col("ellipsis_line_frac") < 0.3 &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("dup_line_frac") < 0.3)
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized lowercase text —
     * the exact-dedup key.
     */
