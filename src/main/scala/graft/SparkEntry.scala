@@ -597,6 +597,14 @@ object SparkEntry {
       graft.agg.Packing.packBudget(d, "source", "doc_id", "n_tokens", budget = 400L)
     },
 
+    // REAL byte-pair encoding against the pinned creation-ordered merges
+    // fixture (graft.text.Bpe): kernel runs once per DISTINCT word, one
+    // word-key equi-join back, per-doc ordered reassembly.
+    "q_bpe_tokens" -> { (s, dir) =>
+      graft.text.Bpe.bpeTokenize(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    },
+
     // token counting: whitespace + BPE-ish regex.
     "q_token_count" -> { (s, dir) =>
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1304,6 +1312,48 @@ object SparkEntry {
         |  round(least(1.0, (least(n_tokens, 200) / 200.0) * 0.4 + alpha_ratio * 0.4 +
         |        least(stopword_ratio * 4.0, 1.0) * 0.2), 4) AS quality_score
         |FROM f""".stripMargin,
+
+    // BPE replay: DuckDB re-derives the same subword tokens from the same
+    // merges table (graft.text.Bpe.mergesSqlValues — lockstep fixture). Each
+    // distinct word starts as ' c h a r s ' and a recursive CTE applies
+    // merges in rank order; one step = one replace() pass, repeated while
+    // the ' l r ' adjacency survives (a pass can miss an occurrence whose
+    // leading separator the previous match consumed — with l != r the
+    // fixpoint is order-independent, see Bpe.scala's proof note).
+    "q_bpe_tokens" ->
+      s"""WITH merges(r, l, rt) AS (VALUES ${graft.text.Bpe.mergesSqlValues}),
+         |words AS (
+         |  SELECT doc_id, pos, word FROM (
+         |    SELECT doc_id, unnest(range(0, len(t))) AS pos, unnest(t) AS word
+         |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |          FROM documents))
+         |  WHERE length(word) > 0),
+         |seq0 AS (
+         |  SELECT word,
+         |         ' ' || array_to_string(list_transform(range(1, length(word) + 1),
+         |                 i -> substr(word, CAST(i AS INT), 1)), ' ') || ' ' AS s
+         |  FROM (SELECT DISTINCT word FROM words)),
+         |enc AS (
+         |  SELECT word, trim(s) AS toks_str,
+         |         CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_toks
+         |  FROM (
+         |    WITH RECURSIVE walk(word, s, r) AS (
+         |      SELECT word, s, 0 FROM seq0
+         |      UNION ALL
+         |      SELECT w.word,
+         |        CASE WHEN contains(w.s, ' ' || m.l || ' ' || m.rt || ' ')
+         |             THEN replace(w.s, ' ' || m.l || ' ' || m.rt || ' ',
+         |                          ' ' || m.l || m.rt || ' ')
+         |             ELSE w.s END,
+         |        CASE WHEN contains(w.s, ' ' || m.l || ' ' || m.rt || ' ')
+         |             THEN w.r ELSE w.r + 1 END
+         |      FROM walk w JOIN merges m ON m.r = w.r)
+         |    SELECT word, s FROM walk WHERE r = ${graft.text.Bpe.merges.length}))
+         |SELECT w.doc_id,
+         |       CAST(sum(d.n_toks) AS BIGINT) AS n_bpe_tokens,
+         |       string_agg(d.toks_str, ' ' ORDER BY w.pos) AS bpe_text
+         |FROM words w JOIN enc d USING (word)
+         |GROUP BY w.doc_id""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.Bpe
+
+/** BPE: the rank-order kernel vs an independent CANONICAL implementation
+  * (merge the lowest-rank adjacent pair present, repeat — the GPT-2 encode
+  * loop), hand-computed encodes, fixture validity, and the doc-level
+  * dictionary-join path vs direct per-word encoding.
+  */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference: canonical BPE encode, written independently of the kernel. */
+  private def canonical(word: String): Vector[String] = {
+    val rank = Bpe.merges.zipWithIndex.map { case ((l, r), i) => (l, r) -> i }.toMap
+    var toks = word.map(_.toString).toVector
+    var done = word.isEmpty
+    while (!done) {
+      val best = toks.indices.dropRight(1)
+        .flatMap(i => rank.get((toks(i), toks(i + 1))).map(r => (r, toks(i), toks(i + 1))))
+        .sortBy(_._1).headOption
+      best match {
+        case None => done = true
+        case Some((_, l, r)) =>
+          val out = Vector.newBuilder[String]; var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) { out += l + r; i += 2 }
+            else { out += toks(i); i += 1 }
+          }
+          toks = out.result()
+      }
+    }
+    toks
+  }
+
+  test("hand-computed encodes") {
+    assert(Bpe.encodeWord("the").toSeq === Seq("the"))
+    assert(Bpe.encodeWord("scan").toSeq === Seq("scan"))
+    assert(Bpe.encodeWord("order").toSeq === Seq("ord", "er"))
+    assert(Bpe.encodeWord("window").toSeq === Seq("win", "d", "o", "w"))
+    assert(Bpe.encodeWord("batch").toSeq === Seq("bat", "c", "h"))
+    assert(Bpe.encodeWord("x").toSeq === Seq("x"))
+    assert(Bpe.encodeWord("").toSeq === Seq.empty)
+    // chars outside the merge table stay single
+    assert(Bpe.encodeWord("zzz").toSeq === Seq("z", "z", "z"))
+  }
+
+  test("rank-order kernel == canonical min-rank encode (corpus vocab + random)") {
+    val vocab = Seq("the", "fast", "key", "order", "sort", "table", "scan", "merge",
+      "part", "window", "small", "hash", "join", "batch", "stream", "spark", "dup",
+      "group", "query", "row", "data", "slow", "filter", "customer", "line", "value",
+      "agg", "column", "big", "vector", "a")
+    vocab.foreach { w =>
+      assert(Bpe.encodeWord(w).toVector === canonical(w), s"word '$w'")
+    }
+    val rng = new scala.util.Random(42)
+    (0 until 1000).foreach { _ =>
+      val w = (0 until (1 + rng.nextInt(12))).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+      assert(Bpe.encodeWord(w).toVector === canonical(w), s"word '$w'")
+    }
+  }
+
+  test("token concatenation reproduces the word (losslessness)") {
+    val rng = new scala.util.Random(7)
+    (0 until 500).foreach { _ =>
+      val w = (0 until (1 + rng.nextInt(15))).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+      assert(Bpe.encodeWord(w).mkString === w)
+    }
+  }
+
+  test("doc-level dictionary-join path == direct per-word encode; empty doc dropped") {
+    val docs = Seq(
+      (1L, "the fast scan of the order table"),
+      (2L, "window window batch"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val out = Bpe.bpeTokenize(docs, "doc_id", "text")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    def direct(t: String) = {
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty).flatMap(Bpe.encodeWord)
+      (toks.length.toLong, toks.mkString(" "))
+    }
+    assert(out === Map(
+      1L -> direct("the fast scan of the order table"),
+      2L -> direct("window window batch")))
+  }
+
+  test("partition invariance: 1 vs 16 partitions") {
+    val rng = new scala.util.Random(11)
+    val words = Vector("the", "scan", "order", "window", "batch", "query", "zz")
+    val docs = (0L until 200L).map(i =>
+      (i, (0 until (1 + rng.nextInt(20))).map(_ => words(rng.nextInt(words.size))).mkString(" ")))
+    def run(parts: Int) =
+      Bpe.bpeTokenize(docs.toDF("doc_id", "text").repartition(parts), "doc_id", "text")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(run(1) === run(16))
+  }
+}
