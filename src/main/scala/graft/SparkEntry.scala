@@ -555,6 +555,13 @@ object SparkEntry {
           "stopword_ratio", "alpha_ratio", "quality_score")
     },
 
+    // Cavnar-Trenkle rank-order language ID: char-trigram profiles derived
+    // from the pinned marker fixture, rank-displacement distance, argmin.
+    "q_langid_profiles" -> { (s, dir) =>
+      graft.text.LangId.classify(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    },
+
     // Gopher-style quality rule set (Rae et al. 2021) over a deterministic
     // 7-token-per-line reflow of the single-line corpus (so the line-based
     // rules are non-degenerate); one codegen'd projection.
@@ -1399,6 +1406,31 @@ object SparkEntry {
         |  CAST((ascii(substr(md5(text), 5, 1)) * 256 + ascii(substr(md5(text), 6, 1))) * 10 AS INT) AS duration_ms,
         |  md5(text) AS digest
         |FROM documents""".stripMargin,
+
+    // Cavnar-Trenkle: DuckDB re-derives doc trigram top-20 ranks and scores
+    // them against the SAME profile table (LangId.profilesSqlValues is
+    // generated from the Scala fixture — lockstep).
+    "q_langid_profiles" ->
+      s"""WITH prof(lang, gram, rl) AS (VALUES ${graft.text.LangId.profilesSqlValues}),
+         |langs AS (SELECT DISTINCT lang FROM prof),
+         |n AS (SELECT doc_id, ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS s
+         |      FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, length(s) - 1),
+         |        i -> substr(s, CAST(i AS INT), 3))) AS gram FROM n),
+         |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+         |top AS (SELECT doc_id, gram, rd FROM (
+         |  SELECT doc_id, gram, CAST(row_number() OVER (
+         |           PARTITION BY doc_id ORDER BY cnt DESC, gram) AS INT) AS rd
+         |  FROM c) WHERE rd <= ${graft.text.LangId.profileSize}),
+         |d AS (SELECT t.doc_id, l.lang,
+         |        CAST(sum(coalesce(abs(t.rd - p.rl), ${graft.text.LangId.penalty})) AS BIGINT) AS dist
+         |      FROM top t CROSS JOIN langs l
+         |      LEFT JOIN prof p ON p.lang = l.lang AND p.gram = t.gram
+         |      GROUP BY t.doc_id, l.lang)
+         |SELECT doc_id, lang AS lang_ct, dist FROM (
+         |  SELECT doc_id, lang, dist,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
+         |  FROM d) WHERE rn = 1""".stripMargin,
 
     // Gopher rules: DuckDB rebuilds the identical 7-token reflow, then the
     // same feature chain (rounded 4dp with the same op order) and the same

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.{LangId, TextAnalysis}
+
+/** Cavnar-Trenkle language ID: profile derivation, classification on
+  * marker-pure texts, deterministic tie-break, degenerate-doc drop,
+  * partition invariance.
+  */
+class LangIdSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("profileOf: rank = (count desc, gram asc), from 1") {
+    // ' ab ' -> grams ' ab', 'ab ' each once; ties break by gram ascending
+    assert(LangId.profileOf("ab") === Seq((" ab", 1), ("ab ", 2)))
+    // repetition outranks: 'aaa' in ' aaa aaa ' -> 'aa ' x2? count them:
+    // norm ' aaa aaa ' grams: ' aa','aaa','aa ','a a',' aa','aaa','aa '
+    assert(LangId.profileOf("aaa aaa").take(2) === Seq((" aa", 1), ("aa ", 2)))
+  }
+
+  test("profiles fixture: every pinned language present, ranks contiguous") {
+    val langs = LangId.profiles.map(_._1).distinct.sorted
+    assert(langs === TextAnalysis.markers.keys.toSeq.sorted)
+    langs.foreach { l =>
+      val ranks = LangId.profiles.filter(_._1 == l).map(_._3).sorted
+      assert(ranks === (1 to ranks.max), s"ranks not contiguous for $l")
+    }
+  }
+
+  private def classify(rows: Seq[(Long, String)], parts: Int = 1) =
+    LangId.classify(rows.toDF("doc_id", "text").repartition(parts), "doc_id", "text")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("marker-pure texts classify to their language") {
+    val out = classify(Seq(
+      1L -> TextAnalysis.markers("en").mkString(" "),
+      2L -> TextAnalysis.markers("de").mkString(" "),
+      3L -> TextAnalysis.markers("fr").mkString(" "),
+      4L -> TextAnalysis.markers("es").mkString(" ")))
+    assert(out(1L)._1 === "en")
+    assert(out(2L)._1 === "de")
+    assert(out(3L)._1 === "fr")
+    assert(out(4L)._1 === "es")
+    // a perfect profile match has distance 0 iff doc ranks == profile ranks;
+    // marker-pure text reproduces the profile's own training text exactly
+    assert(out(1L)._2 === 0L)
+  }
+
+  test("no shared grams -> full penalty for every language, tie breaks to 'de'") {
+    val out = classify(Seq(9L -> "zzz zzz"))
+    val (lang, dist) = out(9L)
+    assert(lang === "de") // all-equal distances, language code ascending wins
+    // doc has 5 distinct grams (' zz','a'? compute: ' zzz zzz ' -> 'z z',' zz','zz ','zzz')
+    // 4 distinct grams x penalty 20
+    assert(dist === 4L * LangId.penalty)
+  }
+
+  test("documents shorter than one trigram are dropped") {
+    // "a" normalizes to " a " (3 chars, one gram) and survives; whitespace-only
+    // text normalizes to "  " (2 chars, no gram) and drops
+    val out = classify(Seq(1L -> "a", 2L -> " ", 3L -> "the the the"))
+    assert(out.keySet === Set(1L, 3L))
+  }
+
+  test("partition invariance: 1 vs 16 partitions") {
+    val rng = new scala.util.Random(5)
+    val langs = TextAnalysis.markers.keys.toVector.sorted
+    val rows = (0L until 200L).map { i =>
+      val ws = TextAnalysis.markers(langs(rng.nextInt(langs.size)))
+      (i, (0 until (3 + rng.nextInt(10))).map(_ => ws(rng.nextInt(ws.size))).mkString(" "))
+    }
+    assert(classify(rows, 1) === classify(rows, 16))
+  }
+}
