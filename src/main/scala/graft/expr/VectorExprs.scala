@@ -593,6 +593,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KmvBottomK].getName, "graft_kmv"),
       (children: Seq[Expression]) => KmvBottomK(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
+      // builders run at analysis time on the driver: resolve the id literal
+      // to its Broadcast[BloomFilter] HERE so the expression (and the task
+      // binaries) carry only the broadcast handle — see BloomRegistry.
+      (children: Seq[Expression]) => BloomMightContain(
+        children(1),
+        BloomRegistry.resolve(children(0).eval(null).asInstanceOf[Number].longValue()))))
   }
 }
 

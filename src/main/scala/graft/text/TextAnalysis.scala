@@ -291,8 +291,15 @@ object TextAnalysis {
     * biased UP by at most ~fpp·n_grams, so `overlap` upper-bounds the exact
     * value. Not oracle-able (the bitmap layout is Spark's sketch impl);
     * NgramSpec pins hit-superset vs the exact join and the fp-rate bound
-    * instead. Probe cost is O(1) hashes per gram through a [[graft.util.Bc]]
-    * per-task cache (never `bc.value` per row).
+    * instead.
+    *
+    * Probe tiers: with [[graft.expr.GraftExtensions]] installed the probe is
+    * the codegen'd [[graft.expr.BloomMightContain]] expression (broadcast
+    * handle in the plan, `bc.value` once per task, zero per-row `String`
+    * allocation, stays inside whole-stage codegen); otherwise a Scala UDF
+    * through a [[graft.util.Bc]] per-task cache (never `bc.value` per row).
+    * Both probe the identical UTF-8-byte hash — NgramSpec pins parity and
+    * the no-ScalaUDF plan shape.
     */
   def ngramContaminationBloom(test: DataFrame, corpus: DataFrame, idCol: String,
                               textCol: String, n: Int,
@@ -300,14 +307,20 @@ object TextAnalysis {
     val cGrams = corpus
       .select(explode(ngramsWithMultiplicity(col(textCol), n)).as("ngram"))
     val bloom = cGrams.stat.bloomFilter("ngram", expectedItems, fpp)
-    val bc = graft.util.Bc(
-      test.sparkSession.sparkContext.broadcast(bloom))
-    val probe = udf { s: String => bc.get.mightContainString(s) }
+    val bloomBc = test.sparkSession.sparkContext.broadcast(bloom)
+    val probed: Column =
+      if (graft.expr.VectorFunctions.available(test.sparkSession)) {
+        val id = graft.expr.BloomRegistry.register(bloomBc)
+        call_function("graft_bloom_contains", lit(id), col("ngram"))
+      } else {
+        val bc = graft.util.Bc(bloomBc)
+        udf { s: String => bc.get.mightContainString(s) }.apply(col("ngram"))
+      }
     test.select(col(idCol),
         explode(array_distinct(ngramsWithMultiplicity(col(textCol), n))).as("ngram"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
-        sum(probe(col("ngram")).cast("long")).as("n_hit"))
+        sum(probed.cast("long")).as("n_hit"))
       .withColumn("overlap", col("n_hit") / col("n_grams"))
   }
 }

@@ -95,6 +95,38 @@ class NgramSpec extends AnyFunSuite {
       s"fp rate ${extraHits.toDouble / totalGrams} too high")
     val plan = bloomDf.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"bloom path must be join-free:\n$plan")
+    // extension installed in TestSpark -> the probe must be the codegen'd
+    // expression, not the Scala-UDF fallback
+    assert(!plan.contains("ScalaUDF") && !plan.toLowerCase.contains("udf("),
+      s"bloom probe fell back to a UDF despite the extension:\n$plan")
+    assert(plan.contains("graft_bloom_contains"),
+      s"expected the graft_bloom_contains expression in the plan:\n$plan")
+  }
+
+  test("graft_bloom_contains: bit-identical to mightContainString, null-safe, codegen and interpreted") {
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    val sc = spark.sparkContext
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    (0 until 300).foreach(i => bloom.putString(s"gram $i é$i")) // non-ASCII too
+    val id = graft.expr.BloomRegistry.register(sc.broadcast(bloom))
+    val probes = (0 until 600).map(i => s"gram $i é$i") :+ null
+    val got = probes.toDF("s")
+      .select(col("s"), call_function("graft_bloom_contains", lit(id), col("s")).as("hit"))
+      .collect().map(r => Option(r.getString(0)) -> (if (r.isNullAt(1)) null else r.getBoolean(1)))
+      .toMap
+    probes.foreach { p =>
+      val expected = if (p == null) null else bloom.mightContainString(p)
+      assert(got(Option(p)) === expected, s"probe '$p'")
+    }
+    // every inserted gram must hit (no false negatives by construction)
+    (0 until 300).foreach(i => assert(got(Some(s"gram $i é$i")) === true))
+    // interpreted eval path (no codegen) agrees
+    val expr = graft.expr.BloomMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("gram 5 é5")),
+      graft.expr.BloomRegistry.resolve(id))
+    assert(expr.eval(null) === true)
+    graft.expr.BloomRegistry.release(id)
   }
 
   test("ngramCounts plan: map-side partial aggregation (word-count shape)") {
