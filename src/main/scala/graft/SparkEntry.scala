@@ -574,6 +574,32 @@ object SparkEntry {
           "dup_line_frac", "gopher_pass")
     },
 
+    // PII redaction over deterministically injected PII (the corpus itself
+    // is PII-free, so each doc gets an email + IP + long id derived from its
+    // own doc_id; every third doc a second email — counts vary).
+    "q_pii_scrub" -> { (s, dir) =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("aug", concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com via 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7 ref 123456"), col("doc_id").cast("string"),
+          when(col("doc_id") % 3 === 0, lit(" cc admin@corp.io")).otherwise(lit(""))))
+      TextAnalysis.piiScrub(d, "aug")
+        .select("doc_id", "n_emails", "n_ips", "n_ids", "text_scrubbed")
+    },
+
+    // within-doc repeated-line removal over the 7-token reflow with the
+    // doc's own first line appended twice (guaranteed duplicates).
+    "q_dedup_lines" -> { (s, dir) =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("lined", TextAnalysis.reflowLines(col("text"), 7))
+        .withColumn("rep", concat(
+          col("lined"), lit("\n"), element_at(split(col("lined"), "\n"), 1),
+          lit("\n"), element_at(split(col("lined"), "\n"), 1)))
+      TextAnalysis.dedupLines(d, "rep")
+        .select("doc_id", "n_lines", "n_kept", "text_dedup")
+    },
+
     // n-gram LM count table with min-count pruning (the canonical word-count
     // plan: explode + two-level hash agg).
     "q_ngram_counts" -> { (s, dir) =>
@@ -1467,6 +1493,49 @@ object SparkEntry {
         |   AND ellipsis_line_frac < 0.3 AND alpha_word_frac >= 0.8
         |   AND dup_line_frac < 0.3) AS gopher_pass
         |FROM f""".stripMargin,
+
+    // PII scrub: identical augmentation, identical three-tier pattern chain
+    // (each tier counts/rewrites the previous tier's text). Patterns are
+    // ASCII + backreference-free so Java regex and RE2 agree.
+    "q_pii_scrub" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |    '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+         |    '.7 ref 123456' || CAST(doc_id AS VARCHAR) ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' cc admin@corp.io' ELSE '' END AS a
+         |  FROM documents),
+         |e AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(a, '${TextAnalysis.piiEmailRe}')) AS INT) AS n_emails,
+         |    regexp_replace(a, '${TextAnalysis.piiEmailRe}', '<EMAIL>', 'g') AS t1
+         |  FROM aug),
+         |i AS (
+         |  SELECT doc_id, n_emails,
+         |    CAST(len(regexp_extract_all(t1, '${TextAnalysis.piiIpRe}')) AS INT) AS n_ips,
+         |    regexp_replace(t1, '${TextAnalysis.piiIpRe}', '<IP>', 'g') AS t2
+         |  FROM e)
+         |SELECT doc_id, n_emails, n_ips,
+         |  CAST(len(regexp_extract_all(t2, '${TextAnalysis.piiIdRe}')) AS INT) AS n_ids,
+         |  regexp_replace(t2, '${TextAnalysis.piiIdRe}', '<ID>', 'g') AS text_scrubbed
+         |FROM i""".stripMargin,
+
+    // within-doc line dedup: same reflow + first-line-twice augmentation,
+    // DuckDB's indexed list_filter replays the first-occurrence keep rule.
+    "q_dedup_lines" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(range(0, (len(t) + 6) // 7),
+        |      i -> array_to_string(t[i*7+1:i*7+7], ' ')), chr(10)) AS lx
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents)),
+        |d AS (
+        |  SELECT doc_id, string_split(
+        |    lx || chr(10) || string_split(lx, chr(10))[1] ||
+        |    chr(10) || string_split(lx, chr(10))[1], chr(10)) AS l
+        |  FROM lined)
+        |SELECT doc_id, CAST(len(l) AS INT) AS n_lines,
+        |  CAST(len(list_filter(l, (x, i) -> list_position(l, x) = i)) AS INT) AS n_kept,
+        |  array_to_string(list_filter(l, (x, i) -> list_position(l, x) = i), chr(10)) AS text_dedup
+        |FROM d""".stripMargin,
 
     "q_ngram_counts" ->
       """WITH toks AS (

@@ -144,6 +144,52 @@ object TextAnalysis {
           col("dup_line_frac") < 0.3)
   }
 
+  /** PII scrub patterns (C4/CCNet-style redaction — Raffel et al. 2020).
+    * Deliberately ASCII-only and backreference-free so Java regex (Spark)
+    * and RE2 (DuckDB oracle) accept the same language: emails, dotted-quad
+    * IPs, and long (>= 7 digit) identifier runs.
+    */
+  val piiEmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpRe: String    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val piiIdRe: String    = "\\d{7,}"
+
+  /** PII redaction: emails → `<EMAIL>`, then IPs → `<IP>`, then long digit
+    * runs → `<ID>` — IN THAT ORDER (each tier counts and rewrites the text
+    * as left by the previous tier, so an address inside an email never
+    * double-counts). Adds `n_emails`/`n_ips`/`n_ids` (INT) and
+    * `text_scrubbed`. Pure regexp projection — codegen'd, no shuffle, no
+    * UDF; the q_pii_scrub DuckDB oracle replays the identical pattern chain
+    * (`regexp_replace(..., 'g')` + `len(regexp_extract_all(...))`).
+    */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(piiEmailRe)).cast("int"))
+      .withColumn("__t1", regexp_replace(col(textCol), piiEmailRe, "<EMAIL>"))
+      .withColumn("n_ips", regexp_count(col("__t1"), lit(piiIpRe)).cast("int"))
+      .withColumn("__t2", regexp_replace(col("__t1"), piiIpRe, "<IP>"))
+      .withColumn("n_ids", regexp_count(col("__t2"), lit(piiIdRe)).cast("int"))
+      .withColumn("text_scrubbed", regexp_replace(col("__t2"), piiIdRe, "<ID>"))
+      .drop("__t1", "__t2")
+
+  /** WITHIN-document repeated-line removal (the in-doc complement of the
+    * cross-document [[graft.dedup.Dedup.spanDedup]]): keeps the FIRST
+    * occurrence of each line, preserves order, and reports `n_lines` /
+    * `n_kept` (INT). A line survives iff its 1-based position equals
+    * `array_position` of its first occurrence — one pass over the split
+    * array, let-bound through the outer lambda variable (the documented
+    * O(n²) HOF pitfall does not apply: `l` is a lambda BINDING, not a
+    * recomputed subtree). Map-only projection; the q_dedup_lines oracle
+    * replays it with DuckDB's indexed `list_filter`.
+    */
+  def dedupLines(df: DataFrame, textCol: String): DataFrame = {
+    val dedup = element_at(
+      transform(array(split(col(textCol), "\n")), l =>
+        filter(l, (x, i) => array_position(l, x) === (i + 1).cast("long"))),
+      1)
+    df.withColumn("n_lines", size(split(col(textCol), "\n")).cast("int"))
+      .withColumn("text_dedup", array_join(dedup, "\n"))
+      .withColumn("n_kept", size(dedup).cast("int"))
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized lowercase text —
     * the exact-dedup key.
     */
