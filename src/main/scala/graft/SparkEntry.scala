@@ -630,6 +630,34 @@ object SparkEntry {
       graft.agg.Packing.packBudget(d, "source", "doc_id", "n_tokens", budget = 400L)
     },
 
+    // stupid-backoff bigram LM scoring (Brants et al. 2007): test docs
+    // (doc_id % 3 == 0) scored against the rest as corpus — the same split
+    // as q_ngram_overlap, so both seen and backoff branches are exercised.
+    // Per-occurrence log10 scores ride an integer micro-log grid (round to
+    // 1e-6, sum as BIGINT) so the aggregate is order-independent and exact
+    // across engines.
+    "q_lm_score" -> { (s, dir) =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.text.LmScore.stupidBackoff(
+        d.filter(col("doc_id") % 3 === 0), d.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text")
+    },
+
+    // deterministic domain-mixture sampling (Pile/LLaMA-style corpus
+    // mixing): per-source char budgets with one over-weighted domain that
+    // caps at keep-all; keep decisions replayed in DuckDB through the XXH64
+    // hashLong chain (HashOracleSql.qDomainMixSql — weights/budget mirrored
+    // at the oracleSql call site).
+    "q_domain_mix" -> { (s, dir) =>
+      Preprocessing.mixtureSample(
+          s.read.parquet(s"$dir/documents.parquet"),
+          idCol = "doc_id", domainCol = "source", tokenCol = "n_chars",
+          weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2,
+            "src3" -> 5.0),
+          budget = 4000L)
+        .select("doc_id", "source", "n_chars")
+    },
+
     // REAL byte-pair encoding against the pinned creation-ordered merges
     // fixture (graft.text.Bpe): kernel runs once per DISTINCT word, one
     // word-key equi-join back, per-doc ordered reassembly.
@@ -1537,6 +1565,52 @@ object SparkEntry {
         |  array_to_string(list_filter(l, (x, i) -> list_position(l, x) = i), chr(10)) AS text_dedup
         |FROM d""".stripMargin,
 
+    // stupid-backoff LM score: identical corpus/test split, identical count
+    // tables, the identical per-occurrence micro-log quantization
+    // (CAST(round(log10(s)*1e6) AS BIGINT)) summed as exact integers — the
+    // only doubles compared are the 4dp-rounded averages of exact sums.
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(t) AS w FROM toks WHERE doc_id % 3 <> 0)
+        |  WHERE w <> '' GROUP BY w),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM uni),
+        |bi AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(list_transform(range(0, greatest(len(t) - 1, 0)),
+        |      i -> array_to_string(t[i+1:i+2], ' '))) AS g
+        |    FROM toks WHERE doc_id % 3 <> 0)
+        |  GROUP BY g),
+        |occ AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(t) - 1, 0)),
+        |      i -> array_to_string(t[i+1:i+2], ' '))) AS g
+        |  FROM toks WHERE doc_id % 3 = 0),
+        |sp AS (
+        |  SELECT doc_id, g,
+        |    string_split(g, ' ')[1] AS w1, string_split(g, ' ')[-1] AS w2
+        |  FROM occ),
+        |sc AS (
+        |  SELECT sp.doc_id,
+        |    CASE WHEN b.cnt IS NULL THEN 1 ELSE 0 END AS backoff,
+        |    CAST(round(log10(
+        |      CASE WHEN b.cnt IS NOT NULL
+        |           THEN CAST(b.cnt AS DOUBLE) / CAST(u1.cnt AS DOUBLE)
+        |           ELSE CAST(0.4 AS DOUBLE) *
+        |                (CAST(coalesce(u2.cnt, 1) AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |      END) * 1e6) AS BIGINT) AS s
+        |  FROM sp
+        |  LEFT JOIN bi b ON sp.g = b.g
+        |  LEFT JOIN uni u1 ON sp.w1 = u1.w
+        |  LEFT JOIN uni u2 ON sp.w2 = u2.w
+        |  CROSS JOIN tot t)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(backoff) AS BIGINT) AS n_backoff,
+        |  round(CAST(sum(s) AS BIGINT) / 1e6 / count(*), 4) AS avg_logprob
+        |FROM sc GROUP BY doc_id""".stripMargin,
+
     "q_ngram_counts" ->
       """WITH toks AS (
         |  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
@@ -1810,6 +1884,11 @@ object SparkEntry {
         |FROM w JOIN transcripts t
         |  ON t.conv_id = w.conv_id AND t.ts >= w.t0 AND t.ts <= w.t1
         |GROUP BY 1, 2""".stripMargin),
+
+    "q_domain_mix" -> graft.oracle.HashOracleSql.qDomainMixSql(
+      "documents", "doc_id", "source", "n_chars",
+      Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 5.0),
+      budget = 4000L),
 
     "q_kmv_distinct" -> graft.oracle.HashOracleSql.qKmvDistinctSql(
       "documents", "text", k = 64),

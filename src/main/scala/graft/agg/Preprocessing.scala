@@ -257,6 +257,47 @@ object Preprocessing {
       .agg(sum(col("w")).as("v"))
   }
 
+  /** Deterministic DOMAIN-MIXTURE sampling — the pretraining-corpus mixing
+    * step (Pile/LLaMA-style): given per-domain target weights and a total
+    * token budget, down-sample each domain so its expected kept tokens are
+    * `weight_d * budget`, by seeded-hash thresholding (keep-decisions are a
+    * pure function of the row id — reproducible, partition-independent, and
+    * re-runnable without a shuffle).
+    *
+    * keep(row) ⇔ `xxhash64(id) >>> 11  <  floor(rate_d * 2^53)` with
+    * `rate_d = min(1, (weight_d * budget) / tokens_d)` — the hash's top 53
+    * bits against a floor-quantized threshold, so BOTH sides are exact
+    * integers and the DuckDB twin ([[graft.oracle.HashOracleSql
+    * .qDomainMixSql]], HUGEINT XXH64 chain) compares bit-identically
+    * (no unsigned-double rounding anywhere; the HHugeINT→DOUBLE pitfall
+    * from CLAUDE.md never enters).
+    *
+    * Domains absent from `weights` are DROPPED (weight 0). Domains whose
+    * corpus is smaller than their target keep everything (rate caps at 1 —
+    * upsampling is epoch logic, not a sampler's).
+    *
+    * Scale shape: one tiny per-domain totals aggregate (map-side combined),
+    * joined to the literal weights and BROADCAST back onto the corpus — the
+    * corpus itself is filtered map-only, no shuffle, predicate-colocated
+    * with the scan.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
+                    tokenCol: String, weights: Map[String, Double],
+                    budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF(domainCol, "__w")
+    val rates = df.groupBy(col(domainCol))
+      .agg(sum(col(tokenCol)).cast("long").as("__tot"))
+      .join(w, Seq(domainCol))
+      .withColumn("__thr",
+        floor(least(lit(1.0), col("__w") * lit(budget.toDouble) / col("__tot"))
+          * lit(9007199254740992.0)).cast("long")) // 2^53
+    df.join(broadcast(rates.select(col(domainCol), col("__thr"))), Seq(domainCol))
+      .filter(shiftrightunsigned(xxhash64(col(idCol)), 11) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** W4 — logbert-style chunking: split each sequence into consecutive
     * `windowSize` chunks, truncating to `maxLen` chunks
     * (bert_pytorch/dataset/sample.py:21-55).

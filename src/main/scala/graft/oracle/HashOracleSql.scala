@@ -332,6 +332,42 @@ object HashOracleSql {
        |FROM agg""".stripMargin
   }
 
+  /** q_domain_mix: the deterministic domain-mixture sampler
+    * ([[graft.agg.Preprocessing.mixtureSample]]) re-derived. Per-domain token
+    * totals join the literal weights; the keep threshold
+    * `floor(min(1, (w*budget)/tot) * 2^53)` is computed with the IDENTICAL
+    * double operation order as the Scala side (multiply, then divide, then
+    * cap, then scale — every step correctly-rounded IEEE in both engines, so
+    * the thresholds are bit-identical); each row's keep decision replays
+    * Spark's `xxhash64(BIGINT)` (XXH64.hashLong, seed 42) through the
+    * HUGEINT chain and compares the top 53 hash bits against the threshold —
+    * an exact integer compare, no unsigned→double rounding anywhere. Ids are
+    * sign-folded into [0, 2^64) the way the JVM reinterprets them. */
+  def qDomainMixSql(table: String, idCol: String, domainCol: String,
+                    tokenCol: String, weights: Seq[(String, Double)],
+                    budget: Long): String = {
+    val wvals = weights
+      .map { case (d, w) => s"('$d', CAST(${w.toString} AS DOUBLE))" }
+      .mkString(", ")
+    val hashed = nest(
+      s"SELECT $idCol, $domainCol, $tokenCol, " +
+        s"((CAST($idCol AS HUGEINT) + $M) & $MASK) AS idh FROM $table",
+      hashLongSteps("idh", "CAST(42 AS HUGEINT)", "h"))
+    s"""WITH w(d, wt) AS (VALUES $wvals),
+       |tot AS (SELECT $domainCol AS d, CAST(sum($tokenCol) AS BIGINT) AS tot
+       |        FROM $table GROUP BY 1),
+       |thr AS (SELECT t.d,
+       |          CAST(floor(least(CAST(1.0 AS DOUBLE),
+       |            (w.wt * CAST($budget AS DOUBLE)) / CAST(t.tot AS DOUBLE))
+       |            * 9007199254740992.0) AS BIGINT) AS thr
+       |        FROM tot t JOIN w ON t.d = w.d),
+       |hx AS (SELECT $idCol, $domainCol, $tokenCol, (hf >> 11) AS top53
+       |       FROM ($hashed))
+       |SELECT hx.$idCol, hx.$domainCol, hx.$tokenCol
+       |FROM hx JOIN thr ON hx.$domainCol = thr.d
+       |WHERE hx.top53 < CAST(thr.thr AS HUGEINT)""".stripMargin
+  }
+
   /** q_ann_ivf: the whole deterministic IVF pipeline unrolled — hash-ranked
     * init, `iters` k-means iterations with the floor(x*2^32) order-independent
     * centroid mean, full-corpus assignment, nProbe nearest lists, exact

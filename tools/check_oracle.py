@@ -359,7 +359,28 @@ def supp_kmv_grouped(con, k=64):
         out.append((g, n_kept, signed64(kth), est2))
     return pd.DataFrame(out, columns=["source", "n_kept", "kth_hash", "est"])
 
+def supp_domain_mix(con):
+    """Exact port of graft.agg.Preprocessing.mixtureSample as pinned at the
+    q_domain_mix call site (weights src0..src3 = .5/.3/.2/5.0, budget 4000,
+    tokenCol n_chars): thr_d = floor(min(1, (w_d*budget)/tot_d) * 2^53) with
+    Python-float (= IEEE-double, same op order) arithmetic; keep iff
+    xxh64_long(doc_id, 42) >> 11 < thr_d."""
+    import math
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2, "src3": 5.0}
+    budget = 4000.0
+    rows = con.execute("SELECT doc_id, source, n_chars FROM documents").fetchall()
+    tot = {}
+    for _, s, n in rows:
+        tot[s] = tot.get(s, 0) + n
+    thr = {s: math.floor(min(1.0, (w * budget) / float(tot[s]))
+                         * 9007199254740992.0)
+           for s, w in weights.items() if s in tot}
+    out = [(i, s, n) for i, s, n in rows
+           if s in thr and (xxh64_long(i, 42) >> 11) < thr[s]]
+    return pd.DataFrame(out, columns=["doc_id", "source", "n_chars"])
+
 SUPPLEMENTARY = {
+    "q_domain_mix": supp_domain_mix,
     "q_kmv_distinct": supp_kmv_distinct,
     "q_kmv_grouped": supp_kmv_grouped,
     "q_simhash": supp_simhash,
