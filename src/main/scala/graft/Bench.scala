@@ -115,7 +115,16 @@ object Bench {
       ("image_headers",    SparkEntry.queries("q_image_headers"),    2),
       ("ngram_counts",     SparkEntry.queries("q_ngram_counts"),     2),
       ("ngram_overlap",    SparkEntry.queries("q_ngram_overlap"),    2),
-      ("pack_budget",      SparkEntry.queries("q_pack_budget"),      2)
+      ("pack_budget",      SparkEntry.queries("q_pack_budget"),      2),
+      // round-6 operators (baselines start this round)
+      ("span_dedup",       SparkEntry.queries("q_span_dedup"),       2),
+      ("bpe_tokens",       SparkEntry.queries("q_bpe_tokens"),       2),
+      ("langid_profiles",  SparkEntry.queries("q_langid_profiles"),  2),
+      ("quality_rules",    SparkEntry.queries("q_quality_rules"),    2),
+      ("pii_scrub",        SparkEntry.queries("q_pii_scrub"),        2),
+      ("dedup_lines",      SparkEntry.queries("q_dedup_lines"),      2),
+      ("lm_score",         SparkEntry.queries("q_lm_score"),         2),
+      ("domain_mix",       SparkEntry.queries("q_domain_mix"),       2)
     )
     // best-of-N minimum = the least-interfered estimate on a host with 2-3×
     // CPU-steal storms (see BASELINE.md methodology)

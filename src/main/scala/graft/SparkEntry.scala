@@ -630,6 +630,19 @@ object SparkEntry {
       graft.agg.Packing.packBudget(d, "source", "doc_id", "n_tokens", budget = 400L)
     },
 
+    // sequence packing with REAL BPE token counts (round-5 verdict item 2's
+    // integration leg): the bpeTokenize counts feed packBudget, so pack
+    // budgets mean actual subword tokens, not whitespace proxies. Oracle =
+    // the q_bpe_tokens recursive encoder CTE feeding the q_pack_budget
+    // recursive pack walk.
+    "q_pack_bpe" -> { (s, dir) =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val counted = graft.text.Bpe.bpeTokenize(d, "doc_id", "text")
+        .join(d.select("doc_id", "source"), Seq("doc_id"))
+      graft.agg.Packing.packBudget(counted, "source", "doc_id",
+        "n_bpe_tokens", budget = 700L)
+    },
+
     // stupid-backoff bigram LM scoring (Brants et al. 2007): test docs
     // (doc_id % 3 == 0) scored against the rest as corpus — the same split
     // as q_ngram_overlap, so both seen and backoff branches are exercised.
@@ -1663,6 +1676,57 @@ object SparkEntry {
         |                ELSE w.pack_idx END
         |    FROM walk w JOIN seq s ON s.source = w.source AND s.rn = w.rn + 1)
         |  SELECT source, doc_id, n_tokens, CAST(pack_idx AS INT) AS pack_idx FROM walk)""".stripMargin,
+
+    // BPE-counted packing: the q_bpe_tokens encoder CTE (merges replayed in
+    // creation order) produces per-doc subword counts, which feed the exact
+    // q_pack_budget recursive walk at budget 700.
+    "q_pack_bpe" ->
+      s"""WITH merges(r, l, rt) AS (VALUES ${graft.text.Bpe.mergesSqlValues}),
+         |words AS (
+         |  SELECT doc_id, pos, word FROM (
+         |    SELECT doc_id, unnest(range(0, len(t))) AS pos, unnest(t) AS word
+         |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |          FROM documents))
+         |  WHERE length(word) > 0),
+         |seq0 AS (
+         |  SELECT word,
+         |         ' ' || array_to_string(list_transform(range(1, length(word) + 1),
+         |                 i -> substr(word, CAST(i AS INT), 1)), ' ') || ' ' AS s
+         |  FROM (SELECT DISTINCT word FROM words)),
+         |enc AS (
+         |  SELECT word,
+         |         CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_toks
+         |  FROM (
+         |    WITH RECURSIVE walk(word, s, r) AS (
+         |      SELECT word, s, 0 FROM seq0
+         |      UNION ALL
+         |      SELECT w.word,
+         |        CASE WHEN contains(w.s, ' ' || m.l || ' ' || m.rt || ' ')
+         |             THEN replace(w.s, ' ' || m.l || ' ' || m.rt || ' ',
+         |                          ' ' || m.l || m.rt || ' ')
+         |             ELSE w.s END,
+         |        CASE WHEN contains(w.s, ' ' || m.l || ' ' || m.rt || ' ')
+         |             THEN w.r ELSE w.r + 1 END
+         |      FROM walk w JOIN merges m ON m.r = w.r)
+         |    SELECT word, s FROM walk WHERE r = ${graft.text.Bpe.merges.length})),
+         |counts AS (
+         |  SELECT w.doc_id, CAST(sum(d.n_toks) AS BIGINT) AS n_bpe_tokens
+         |  FROM words w JOIN enc d USING (word) GROUP BY w.doc_id),
+         |seq AS (
+         |  SELECT dd.source, c.doc_id, c.n_bpe_tokens,
+         |         row_number() OVER (PARTITION BY dd.source ORDER BY c.doc_id) AS rn
+         |  FROM counts c JOIN documents dd USING (doc_id))
+         |SELECT source, doc_id, n_bpe_tokens, pack_idx FROM (
+         |  WITH RECURSIVE pk(source, rn, doc_id, n_bpe_tokens, used, pack_idx) AS (
+         |    SELECT source, rn, doc_id, n_bpe_tokens, n_bpe_tokens, 0 FROM seq WHERE rn = 1
+         |    UNION ALL
+         |    SELECT s.source, s.rn, s.doc_id, s.n_bpe_tokens,
+         |           CASE WHEN w.used + s.n_bpe_tokens > 700 THEN s.n_bpe_tokens
+         |                ELSE w.used + s.n_bpe_tokens END,
+         |           CASE WHEN w.used + s.n_bpe_tokens > 700 THEN w.pack_idx + 1
+         |                ELSE w.pack_idx END
+         |    FROM pk w JOIN seq s ON s.source = w.source AND s.rn = w.rn + 1)
+         |  SELECT source, doc_id, n_bpe_tokens, CAST(pack_idx AS INT) AS pack_idx FROM pk)""".stripMargin,
 
     // mirror of ImageHeaderDecoder.syntheticHeader — the round-trip oracle:
     // Spark constructs real PNG/JPEG bytes from doc_id and parses them back;

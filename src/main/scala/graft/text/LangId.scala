@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cavnar–Trenkle rank-order language identification ("N-Gram-Based Text
@@ -26,11 +25,15 @@ import org.apache.spark.sql.functions._
   *  - winner: min distance, ties broken by language code ascending
   *    (a lexicographic min over (dist, lang) structs).
   *
-  * Scale shape: explode → two-level (doc, gram) count agg → per-doc top-K
-  * window (one doc-key exchange) → BROADCAST of the ~100-row profile table
-  * (cross join with the 5-row language list, left join on (lang, gram)) →
-  * per-(doc, lang) sum → per-doc argmin. No shuffle touches anything wider
-  * than (doc, gram, count); the profile side never exchanges.
+  * Scale shape: codegen'd position-explode (no interpreted ArrayTransform
+  * in the 17M+-gram hot path) → two-level (doc, gram) count agg → per-doc
+  * top-K via collect_list + array_sort + slice (no window: a window SORTS
+  * the full gram stream; this sorts ~250 counted grams per doc) →
+  * BROADCAST of the ~100-row profile table (cross join with the 5-row
+  * language list, left join on (lang, gram)) → per-(doc, lang) sum →
+  * per-doc argmin, both exchange-free (HashPartitioning(id) already
+  * clusters (id, lang)). No shuffle touches anything wider than
+  * (doc, gram, count); the profile side never exchanges.
   */
 object LangId {
 
@@ -69,19 +72,32 @@ object LangId {
     import s.implicits._
     val norm = concat(lit(" "),
       regexp_replace(lower(trim(col(textCol))), "\\s+", " "), lit(" "))
-    // let-bound norm (the documented O(n²) HOF pitfall); the < 3 guard keeps
-    // sequence() from stepping backwards on degenerate text
-    val gramsArr = element_at(
-      transform(array(norm), n =>
-        when(length(n) < nGram, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), length(n) - (nGram - 1)),
-            i => n.substr(i, lit(nGram))))),
-      1)
-    val counts = df.select(col(idCol).as("id"), explode(gramsArr).as("gram"))
+    // trigram generation stays CODEGEN'D: explode an int position sequence
+    // and substr in the same whole-stage span (an ArrayTransform lambda
+    // building the gram array is CodegenFallback — interpreted PER GRAM,
+    // and was the dominant cost at 17M+ grams). The < 3 guard keeps
+    // sequence() from stepping backwards on degenerate text; explode drops
+    // the empty array, so sub-trigram docs fall out here on both engines.
+    val counts = df
+      .select(col(idCol).as("id"), norm.as("n"))
+      .select(col("id"), col("n"), explode(
+        when(length(col("n")) < nGram, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), length(col("n")) - (nGram - 1)))).as("p"))
+      .select(col("id"), col("n").substr(col("p"), lit(nGram)).as("gram"))
       .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col("id")).orderBy(col("cnt").desc, col("gram"))
-    val top = counts.withColumn("rd", row_number().over(w))
-      .filter(col("rd") <= profileSize)
+    // per-doc top-K WITHOUT a window: row_number over (cnt DESC, gram ASC)
+    // equals the position in the ascending sort of (-cnt, gram) structs —
+    // unique per doc, so identical ranks — but a window sorts the FULL
+    // (id, gram, cnt) stream inside each partition (the dominant cost at
+    // 17M+ gram rows), where collect_list + array_sort + slice sorts ~250
+    // counted grams per doc and ships only the top-K onward
+    val top = counts
+      .groupBy(col("id"))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("cnt")).as("nc"), col("gram")))), 1, profileSize).as("t"))
+      .select(col("id"), posexplode(col("t")).as(Seq("p", "s")))
+      .select(col("id"), col("s.gram").as("gram"),
+        (col("p") + 1).cast("int").as("rd"))
     val langDf = profiles.map(_._1).distinct.sorted.toDF("lang")
     val profDf = profiles.toDF("lang", "gram", "rl")
     top.crossJoin(broadcast(langDf))
