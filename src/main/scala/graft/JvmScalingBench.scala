@@ -114,10 +114,17 @@ object JvmScalingBench {
   }
 
   private def run(base: String, nConv: Int, reps: Int): Unit = {
-    val configs = Seq(
+    val allConfigs = Seq(
       Cfg("c8_1jvm",  "local-cluster[1,8,12288]",  "11g", 8),
       Cfg("c32_1jvm", "local-cluster[1,32,49152]", "47g", 32),
       Cfg("c32_4jvm", "local-cluster[4,8,12288]",  "11g", 32))
+    // SPARK_GRAFT_JVMS_ONLY=c32_4jvm runs a subset (comma-separated tags) —
+    // used for single-config datapoints (e.g. the 500M-turn quad probe);
+    // without the full trio only per-config wall/cpu figures are printed.
+    val only = sys.env.get("SPARK_GRAFT_JVMS_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val configs = only.fold(allConfigs)(sel => allConfigs.filter(c => sel(c.tag)))
+    require(configs.nonEmpty, s"SPARK_GRAFT_JVMS_ONLY matched no config tag")
 
     val spin8  = spinSeconds(8)
     val spin32 = spinSeconds(32)
@@ -162,6 +169,18 @@ object JvmScalingBench {
 
     val runs = (1 to reps).flatMap(r => configs.map(c => c.tag -> runOnce(c, r)))
     def best(tag: String) = runs.collect { case (`tag`, r) => r }.minBy(_.wallSec)
+
+    if (configs.size < allConfigs.size) {
+      // subset mode: no cross-config efficiency — per-config figures only
+      val parts = configs.map { c =>
+        val r = best(c.tag)
+        f""""${c.tag}":{"sec":${r.wallSec}%.2f,"cpu_sec_per_1m_turns":${r.cpuSec / (r.turns / 1e6)}%.1f,"turns":${r.turns}}"""
+      }
+      println(
+        f"""{"metric":"jvm_scaling_subset","value":${best(configs.head.tag).wallSec}%.2f,"unit":"sec","reps":$reps,""" +
+        f""""hw_cpu_speedup_8_to_32":$hwSpeedup%.2f,${parts.mkString(",")}}""")
+      return
+    }
 
     val r8 = best("c8_1jvm"); val m32 = best("c32_1jvm"); val q32 = best("c32_4jvm")
     val turns = r8.turns.toDouble
