@@ -124,7 +124,8 @@ object Bench {
       ("pii_scrub",        SparkEntry.queries("q_pii_scrub"),        2),
       ("dedup_lines",      SparkEntry.queries("q_dedup_lines"),      2),
       ("lm_score",         SparkEntry.queries("q_lm_score"),         2),
-      ("domain_mix",       SparkEntry.queries("q_domain_mix"),       2)
+      ("domain_mix",       SparkEntry.queries("q_domain_mix"),       2),
+      ("curation",         SparkEntry.queries("q_curation"),         2)
     )
     // best-of-N minimum = the least-interfered estimate on a host with 2-3×
     // CPU-steal storms (see BASELINE.md methodology)

@@ -630,6 +630,26 @@ object SparkEntry {
       graft.agg.Packing.packBudget(d, "source", "doc_id", "n_tokens", budget = 400L)
     },
 
+    // END-TO-END curation chain (Gopher gate -> PII scrub -> line dedup ->
+    // cross-doc exact dedup) over an input with all four stages exercised:
+    // reflowed lines + the doc's first line twice (in-doc dups) + an
+    // injected PII line (scrub targets); every tenth doc is the pinned
+    // gopher-passing fixture (cross-doc dups -> only the smallest id
+    // survives). The oracle replays the IDENTICAL composition.
+    "q_curation" -> { (s, dir) =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("lined", TextAnalysis.reflowLines(col("text"), 7))
+        .withColumn("f1", element_at(split(col("lined"), "\n"), 1))
+        .withColumn("aug",
+          when(col("doc_id") % 10 === 9, lit(graft.text.Curation.fixtureDupDoc))
+            .otherwise(concat(
+              col("lined"), lit("\n"), col("f1"), lit("\n"), col("f1"),
+              lit("\ncontact user"), col("doc_id").cast("string"),
+              lit("@example.com via 10.0."), (col("doc_id") % 256).cast("string"),
+              lit(".7 ref 123456"), col("doc_id").cast("string"))))
+      graft.text.Curation.curate(d, "doc_id", "aug")
+    },
+
     // sequence packing with REAL BPE token counts (round-5 verdict item 2's
     // integration leg): the bpeTokenize counts feed packBudget, so pack
     // budgets mean actual subword tokens, not whitespace proxies. Oracle =
@@ -1676,6 +1696,75 @@ object SparkEntry {
         |                ELSE w.pack_idx END
         |    FROM walk w JOIN seq s ON s.source = w.source AND s.rn = w.rn + 1)
         |  SELECT source, doc_id, n_tokens, CAST(pack_idx AS INT) AS pack_idx FROM walk)""".stripMargin,
+
+    // curation: the q_quality_rules gate, q_pii_scrub tiers and
+    // q_dedup_lines filter fragments verbatim, chained, then one
+    // first-occurrence-per-fingerprint window. The planted fixture comes
+    // from Curation.fixtureSql (the same Scala constant).
+    "q_curation" ->
+      s"""WITH lined AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_transform(range(0, (len(t) + 6) // 7),
+         |      i -> array_to_string(t[i*7+1:i*7+7], ' ')), chr(10)) AS lx
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)),
+         |aug AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 9 THEN ${graft.text.Curation.fixtureSql}
+         |         ELSE lx || chr(10) || string_split(lx, chr(10))[1] ||
+         |              chr(10) || string_split(lx, chr(10))[1] ||
+         |              chr(10) || 'contact user' || CAST(doc_id AS VARCHAR) ||
+         |              '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+         |              '.7 ref 123456' || CAST(doc_id AS VARCHAR)
+         |    END AS a
+         |  FROM lined),
+         |g AS (
+         |  SELECT doc_id, a FROM aug WHERE
+         |    (len(regexp_split_to_array(trim(a), '\\s+')) BETWEEN 50 AND 100000)
+         |    AND (round(length(regexp_replace(a, '\\s+', '', 'g')) * 1.0 /
+         |         greatest(len(regexp_split_to_array(trim(a), '\\s+')), 1), 4) BETWEEN 3.0 AND 10.0)
+         |    AND round(((length(a) - length(replace(a, '#', ''))) +
+         |        (length(a) - length(replace(a, '...', ''))) / 3.0) /
+         |        greatest(len(regexp_split_to_array(trim(a), '\\s+')), 1), 4) < 0.1
+         |    AND round(len(list_filter(string_split(a, chr(10)),
+         |        l -> substr(l, 1, 2) = '- ' OR substr(l, 1, 2) = '* ')) * 1.0 /
+         |        greatest(len(string_split(a, chr(10))), 1), 4) < 0.9
+         |    AND round(len(list_filter(string_split(a, chr(10)), l -> l LIKE '%...')) * 1.0 /
+         |        greatest(len(string_split(a, chr(10))), 1), 4) < 0.3
+         |    AND round(len(list_filter(regexp_split_to_array(trim(a), '\\s+'),
+         |        w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 /
+         |        greatest(len(regexp_split_to_array(trim(a), '\\s+')), 1), 4) >= 0.8
+         |    AND round(1.0 - len(list_distinct(string_split(a, chr(10)))) * 1.0 /
+         |        greatest(len(string_split(a, chr(10))), 1), 4) < 0.3),
+         |e AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(a, '${TextAnalysis.piiEmailRe}')) AS INT) AS n_emails,
+         |    regexp_replace(a, '${TextAnalysis.piiEmailRe}', '<EMAIL>', 'g') AS t1
+         |  FROM g),
+         |i AS (
+         |  SELECT doc_id, n_emails,
+         |    CAST(len(regexp_extract_all(t1, '${TextAnalysis.piiIpRe}')) AS INT) AS n_ips,
+         |    regexp_replace(t1, '${TextAnalysis.piiIpRe}', '<IP>', 'g') AS t2
+         |  FROM e),
+         |p AS (
+         |  SELECT doc_id, n_emails, n_ips,
+         |    CAST(len(regexp_extract_all(t2, '${TextAnalysis.piiIdRe}')) AS INT) AS n_ids,
+         |    regexp_replace(t2, '${TextAnalysis.piiIdRe}', '<ID>', 'g') AS ts
+         |  FROM i),
+         |d AS (
+         |  SELECT doc_id, n_emails, n_ips, n_ids, string_split(ts, chr(10)) AS l
+         |  FROM p),
+         |dd AS (
+         |  SELECT doc_id, n_emails, n_ips, n_ids,
+         |    CAST(len(l) AS INT) AS n_lines,
+         |    CAST(len(list_filter(l, (x, ix) -> list_position(l, x) = ix)) AS INT) AS n_kept,
+         |    array_to_string(list_filter(l, (x, ix) -> list_position(l, x) = ix), chr(10)) AS text_curated
+         |  FROM d),
+         |fp AS (
+         |  SELECT *, md5(regexp_replace(lower(trim(text_curated)), '\\s+', ' ', 'g')) AS f
+         |  FROM dd)
+         |SELECT doc_id, n_emails, n_ips, n_ids, n_lines, n_kept, text_curated
+         |FROM (SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM fp)
+         |WHERE rn = 1""".stripMargin,
 
     // BPE-counted packing: the q_bpe_tokens encoder CTE (merges replayed in
     // creation order) produces per-doc subword counts, which feed the exact
