@@ -97,6 +97,82 @@ object TextKernel {
     }
     UTF8String.fromString(m)
   }
+
+  /** [[graft.text.LangId.classify]]'s composed semantics in one pass: the
+    * top-`k` character trigrams of `' ' + normalize(text) + ' '` in rank
+    * order — rank by (count DESC, gram ASC in UTF8String BINARY order, the
+    * order `array_sort` on struct(-cnt, gram) uses; Java String.compareTo
+    * is UTF-16 order and differs on supplementary characters, so grams
+    * compare through UTF8String). Sub-trigram texts → empty array (the
+    * composed `when(length < 3, ...)` guard).
+    */
+  def trigramTopK(s: UTF8String, k: Int): ArrayData = {
+    val norm = " " + normalize(s) + " "
+    val cps = norm.codePoints().toArray
+    val n = cps.length
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val counts = new java.util.HashMap[String, Integer]()
+    var i = 0
+    while (i <= n - 3) {
+      val g = new String(cps, i, 3)
+      val c = counts.get(g)
+      counts.put(g, if (c == null) 1 else Integer.valueOf(c + 1))
+      i += 1
+    }
+    val entries =
+      new java.util.ArrayList[java.util.Map.Entry[String, Integer]](counts.entrySet())
+    entries.sort(new java.util.Comparator[java.util.Map.Entry[String, Integer]] {
+      override def compare(a: java.util.Map.Entry[String, Integer],
+                           b: java.util.Map.Entry[String, Integer]): Int = {
+        val d = Integer.compare(b.getValue, a.getValue)
+        if (d != 0) d
+        else UTF8String.fromString(a.getKey).compareTo(UTF8String.fromString(b.getKey))
+      }
+    })
+    val m = math.min(k, entries.size)
+    val arr = new Array[Any](m)
+    var j = 0
+    while (j < m) { arr(j) = UTF8String.fromString(entries.get(j).getKey); j += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** `graft_trigram_topk(text, k)` → `array<string>` — the per-document
+  * rank-ordered trigram profile as ONE kernel call. The composed form
+  * explodes every trigram (17M+ rows on the sf0.1 corpus), shuffles the
+  * full (doc, gram) stream into a count aggregate, and collects per-doc
+  * top-K back — this kernel keeps the whole profile computation in-row, so
+  * the operator ships K short strings per document instead of one row per
+  * gram occurrence (LangIdSpec pins fused==composed parity; the
+  * q_langid_profiles DuckDB oracle passes unchanged).
+  */
+case class TrigramTopK(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_trigram_topk"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure("graft_trigram_topk requires a literal k argument")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val k: Int = right.eval().asInstanceOf[Int]
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernel.trigramTopK(a.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, _) =>
+      s"${ev.value} = graft.expr.TextKernel.trigramTopK($s, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TrigramTopK =
+    copy(left = newLeft, right = newRight)
 }
 
 /** SimHash kernel — EXACTLY [[graft.dedup.Dedup.simhash64]]'s UDF body:

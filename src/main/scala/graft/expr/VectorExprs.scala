@@ -582,6 +582,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingMinFingerprint].getName, "graft_rolling_min"),
       (children: Seq[Expression]) => RollingMinFingerprint(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_trigram_topk"),
+      new ExpressionInfo(classOf[TrigramTopK].getName, "graft_trigram_topk"),
+      (children: Seq[Expression]) => TrigramTopK(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashFingerprint].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimhashFingerprint(children.head)))

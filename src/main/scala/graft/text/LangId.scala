@@ -25,15 +25,18 @@ import org.apache.spark.sql.functions._
   *  - winner: min distance, ties broken by language code ascending
   *    (a lexicographic min over (dist, lang) structs).
   *
-  * Scale shape: codegen'd position-explode (no interpreted ArrayTransform
-  * in the 17M+-gram hot path) → two-level (doc, gram) count agg → per-doc
-  * top-K via collect_list + array_sort + slice (no window: a window SORTS
-  * the full gram stream; this sorts ~250 counted grams per doc) →
-  * BROADCAST of the ~100-row profile table (cross join with the 5-row
-  * language list, left join on (lang, gram)) → per-(doc, lang) sum →
-  * per-doc argmin, both exchange-free (HashPartitioning(id) already
-  * clusters (id, lang)). No shuffle touches anything wider than
-  * (doc, gram, count); the profile side never exchanges.
+  * Scale shape (fused default): the whole per-doc trigram count+rank runs
+  * IN-ROW via the `graft_trigram_topk` kernel — a map-only projection, so
+  * the operator ships K short grams per document instead of one shuffled
+  * row per gram occurrence — then BROADCAST of the ~100-row profile table
+  * (cross join with the 5-row language list, left join on (lang, gram)),
+  * per-(doc, lang) sum and per-doc argmin. The chain's only exchange is
+  * the skinny (doc, lang, partial-dist) aggregate. Extension-less fallback
+  * [[composedTop]]: codegen'd position-explode (NOT an interpreted
+  * ArrayTransform) → two-level (doc, gram) count agg → per-doc top-K via
+  * collect_list + array_sort + slice (no window: a window would SORT the
+  * full 17M+-row gram stream). LangIdSpec pins fused == composed,
+  * including unicode and tie edges.
   */
 object LangId {
 
@@ -66,10 +69,11 @@ object LangId {
     profiles.map { case (l, g, r) => s"('$l', '${g.replace("'", "''")}', $r)" }
       .mkString(", ")
 
-  /** Classify each document: (idCol, lang_ct, dist). */
-  def classify(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val s: SparkSession = df.sparkSession
-    import s.implicits._
+  /** Composed (id, gram, rd) top-K profile rows — the extension-less
+    * fallback and [[fusedTop]]'s semantic twin (LangIdSpec pins parity).
+    */
+  private[graft] def composedTop(df: DataFrame, idCol: String,
+                                textCol: String): DataFrame = {
     val norm = concat(lit(" "),
       regexp_replace(lower(trim(col(textCol))), "\\s+", " "), lit(" "))
     // trigram generation stays CODEGEN'D: explode an int position sequence
@@ -91,13 +95,34 @@ object LangId {
     // (id, gram, cnt) stream inside each partition (the dominant cost at
     // 17M+ gram rows), where collect_list + array_sort + slice sorts ~250
     // counted grams per doc and ships only the top-K onward
-    val top = counts
+    counts
       .groupBy(col("id"))
       .agg(slice(array_sort(collect_list(
         struct((-col("cnt")).as("nc"), col("gram")))), 1, profileSize).as("t"))
       .select(col("id"), posexplode(col("t")).as(Seq("p", "s")))
       .select(col("id"), col("s.gram").as("gram"),
         (col("p") + 1).cast("int").as("rd"))
+  }
+
+  /** Fused (id, gram, rd) profile rows via `graft_trigram_topk`: the whole
+    * per-doc count+rank stays IN-ROW, so the operator ships K short grams
+    * per document instead of one shuffled row per gram occurrence (the
+    * composed path exchanges the full 17M+-row (doc, gram) stream twice).
+    */
+  private[graft] def fusedTop(df: DataFrame, idCol: String,
+                             textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(call_function("graft_trigram_topk",
+          col(textCol), lit(profileSize))).as(Seq("p", "gram")))
+      .select(col("id"), col("gram"), (col("p") + 1).cast("int").as("rd"))
+
+  /** Classify each document: (idCol, lang_ct, dist). */
+  def classify(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s: SparkSession = df.sparkSession
+    import s.implicits._
+    val top =
+      if (graft.expr.VectorFunctions.available(s)) fusedTop(df, idCol, textCol)
+      else composedTop(df, idCol, textCol)
     val langDf = profiles.map(_._1).distinct.sorted.toDF("lang")
     val profDf = profiles.toDF("lang", "gram", "rl")
     top.crossJoin(broadcast(langDf))

@@ -72,4 +72,29 @@ class LangIdSpec extends AnyFunSuite {
     }
     assert(classify(rows, 1) === classify(rows, 16))
   }
+
+  test("fused graft_trigram_topk profile == composed, incl. edges and ties") {
+    val docs = Seq(
+      1L -> "The quick brown Fox  jumps",
+      2L -> "",                       // sub-trigram: drops out
+      3L -> "   \t ",                 // whitespace-only: drops out
+      4L -> "ab",                     // norm ' ab ' (4 cps): 2 grams
+      5L -> "aaa bbb aaa aaa ccc",    // repeated-count ties -> gram order
+      6L -> "über naïve café über",   // non-ASCII code points
+      7L -> ("xy " * 40).trim         // > profileSize distinct grams? ties galore
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, Int)].collect().toSeq.sorted
+    assert(rows(LangId.fusedTop(docs, "doc_id", "text")) ===
+      rows(LangId.composedTop(docs, "doc_id", "text")))
+    assert(rows(LangId.fusedTop(docs, "doc_id", "text")).nonEmpty)
+  }
+
+  test("fused profile stage is map-only (the composed path's gram shuffle is gone)") {
+    val docs = Seq(1L -> "some text here to profile").toDF("doc_id", "text")
+    val plan = LangId.fusedTop(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(plan.contains("graft_trigram_topk"), s"kernel missing:\n$plan")
+  }
 }
