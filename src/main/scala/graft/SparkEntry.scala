@@ -574,6 +574,21 @@ object SparkEntry {
           "dup_line_frac", "gopher_pass")
     },
 
+    // Gopher §A1.1 n-gram repetition family: every 5th doc gets a planted
+    // 12-word phrase repeated 3× appended, so top-{2,3,4} and dup-{5..10}
+    // all exercise nonzero fractions (and rep_pass both branches) at every
+    // SF; the oracle replays the identical augmentation + counts via SQL
+    // window rank.
+    "q_repetition" -> { (s, dir) =>
+      val plant = " pack my box with five dozen liquid jugs again and again now"
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("rtext",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(plant + plant + plant)))
+            .otherwise(col("text")))
+      TextAnalysis.repetitionFeatures(d, "doc_id", "rtext")
+    },
+
     // PII redaction over deterministically injected PII (the corpus itself
     // is PII-free, so each doc gets an email + IP + long id derived from its
     // own doc_id; every third doc a second email — counts vary).
@@ -1553,6 +1568,68 @@ object SparkEntry {
         |   AND symbol_word_ratio < 0.1 AND bullet_line_frac < 0.9
         |   AND ellipsis_line_frac < 0.3 AND alpha_word_frac >= 0.8
         |   AND dup_line_frac < 0.3) AS gopher_pass
+        |FROM f""".stripMargin,
+
+    // Repetition family: identical planted augmentation, then per (doc, n)
+    // the same top-gram selection (count DESC, gram ASC — window rank) and
+    // dup sums as INTEGER numerators, one double division + round at the
+    // end (the repo's cross-engine float pin).
+    "q_repetition" ->
+      """WITH aug AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text ||
+        |    ' pack my box with five dozen liquid jugs again and again now' ||
+        |    ' pack my box with five dozen liquid jugs again and again now' ||
+        |    ' pack my box with five dozen liquid jugs again and again now'
+        |    ELSE text END AS rtext FROM documents),
+        |base AS (
+        |  SELECT doc_id, t, greatest(length(array_to_string(t, ' ')), 1) AS total
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(rtext), '\s+') AS t FROM aug)),
+        |grams AS (
+        |  SELECT doc_id, ns.n AS n,
+        |    unnest(list_transform(range(0, greatest(len(t) - (ns.n - 1), 0)),
+        |      i -> array_to_string(t[i+1:i+ns.n], ' '))) AS gram
+        |  FROM base CROSS JOIN (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) ns),
+        |counts AS (SELECT doc_id, n, gram, count(*) AS c FROM grams GROUP BY doc_id, n, gram),
+        |ranked AS (
+        |  SELECT doc_id, n, gram, c,
+        |    row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, gram ASC) AS r
+        |  FROM counts),
+        |pern AS (
+        |  SELECT doc_id, n,
+        |    CAST(sum(CASE WHEN r = 1 AND c >= 2 THEN c * length(gram) ELSE 0 END) AS BIGINT) AS topnum,
+        |    CAST(sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END) AS BIGINT) AS dupnum
+        |  FROM ranked GROUP BY doc_id, n),
+        |piv AS (
+        |  SELECT doc_id,
+        |    coalesce(sum(CASE WHEN n = 2 THEN topnum END), 0) AS v2,
+        |    coalesce(sum(CASE WHEN n = 3 THEN topnum END), 0) AS v3,
+        |    coalesce(sum(CASE WHEN n = 4 THEN topnum END), 0) AS v4,
+        |    coalesce(sum(CASE WHEN n = 5 THEN dupnum END), 0) AS v5,
+        |    coalesce(sum(CASE WHEN n = 6 THEN dupnum END), 0) AS v6,
+        |    coalesce(sum(CASE WHEN n = 7 THEN dupnum END), 0) AS v7,
+        |    coalesce(sum(CASE WHEN n = 8 THEN dupnum END), 0) AS v8,
+        |    coalesce(sum(CASE WHEN n = 9 THEN dupnum END), 0) AS v9,
+        |    coalesce(sum(CASE WHEN n = 10 THEN dupnum END), 0) AS v10
+        |  FROM pern GROUP BY doc_id),
+        |f AS (
+        |  SELECT b.doc_id,
+        |    round(least(coalesce(v2, 0) * 1.0 / total, 1.0), 4) AS top_2gram_frac,
+        |    round(least(coalesce(v3, 0) * 1.0 / total, 1.0), 4) AS top_3gram_frac,
+        |    round(least(coalesce(v4, 0) * 1.0 / total, 1.0), 4) AS top_4gram_frac,
+        |    round(least(coalesce(v5, 0) * 1.0 / total, 1.0), 4) AS dup_5gram_frac,
+        |    round(least(coalesce(v6, 0) * 1.0 / total, 1.0), 4) AS dup_6gram_frac,
+        |    round(least(coalesce(v7, 0) * 1.0 / total, 1.0), 4) AS dup_7gram_frac,
+        |    round(least(coalesce(v8, 0) * 1.0 / total, 1.0), 4) AS dup_8gram_frac,
+        |    round(least(coalesce(v9, 0) * 1.0 / total, 1.0), 4) AS dup_9gram_frac,
+        |    round(least(coalesce(v10, 0) * 1.0 / total, 1.0), 4) AS dup_10gram_frac
+        |  FROM base b LEFT JOIN piv USING (doc_id))
+        |SELECT doc_id, top_2gram_frac, top_3gram_frac, top_4gram_frac,
+        |  dup_5gram_frac, dup_6gram_frac, dup_7gram_frac, dup_8gram_frac,
+        |  dup_9gram_frac, dup_10gram_frac,
+        |  (top_2gram_frac < 0.20 AND top_3gram_frac < 0.18 AND top_4gram_frac < 0.16
+        |   AND dup_5gram_frac < 0.15 AND dup_6gram_frac < 0.14 AND dup_7gram_frac < 0.13
+        |   AND dup_8gram_frac < 0.12 AND dup_9gram_frac < 0.11 AND dup_10gram_frac < 0.10
+        |  ) AS rep_pass
         |FROM f""".stripMargin,
 
     // PII scrub: identical augmentation, identical three-tier pattern chain

@@ -135,6 +135,70 @@ object TextKernel {
     while (j < m) { arr(j) = UTF8String.fromString(entries.get(j).getKey); j += 1 }
     new GenericArrayData(arr)
   }
+
+  /** [[graft.text.TextAnalysis.repetitionFeatures]]'s per-document CHARACTER
+    * numerators in one pass: for word n-grams n = 2..10 over the
+    * whitespace-split tokens of the space-trimmed text (the exact
+    * `split(trim(text), "\\s+")` semantics — Spark's limit -1 KEEPS trailing
+    * empty tokens, so `Pattern.split(_, -1)` here, not Java's default), the
+    * array [top₂, top₃, top₄, dup₅ … dup₁₀] where
+    *  - topₙ = count·charlen of the most frequent n-gram (count DESC, gram
+    *    ASC in UTF8String binary order), 0 unless it occurs ≥ 2 times;
+    *  - dupₙ = Σ count·charlen over distinct n-grams occurring ≥ 2 times;
+    * charlen counts CODE POINTS (Spark/DuckDB `length`), i.e. token code
+    * points + (n−1) joining spaces. Fewer than n tokens → 0.
+    */
+  def repetitionNums(s: UTF8String): ArrayData = {
+    val toks = ws.split(s.trim().toString, -1)
+    val tn = toks.length
+    val lens = new Array[Int](tn)
+    var i = 0
+    while (i < tn) { lens(i) = toks(i).codePointCount(0, toks(i).length); i += 1 }
+    val nums = new Array[Any](9)
+    var n = 2
+    while (n <= 10) {
+      var topnum = 0L
+      var dupnum = 0L
+      if (tn >= n) {
+        val counts = new java.util.HashMap[String, Array[Long]]()
+        var p = 0
+        while (p <= tn - n) {
+          val sb = new java.lang.StringBuilder()
+          var gl = (n - 1).toLong
+          var q = 0
+          while (q < n) {
+            if (q > 0) sb.append(' ')
+            sb.append(toks(p + q))
+            gl += lens(p + q)
+            q += 1
+          }
+          val g = sb.toString
+          val e = counts.get(g)
+          if (e == null) counts.put(g, Array(1L, gl)) else e(0) += 1
+          p += 1
+        }
+        var topC = 0L
+        var topG: String = null
+        var topL = 0L
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c = e.getValue()(0)
+          val gl = e.getValue()(1)
+          if (c >= 2L) dupnum += c * gl
+          if (c > topC || (c == topC && topG != null &&
+              UTF8String.fromString(e.getKey).compareTo(UTF8String.fromString(topG)) < 0) ||
+              topG == null) {
+            topC = c; topG = e.getKey; topL = gl
+          }
+        }
+        if (topC >= 2L) topnum = topC * topL
+      }
+      nums(n - 2) = java.lang.Long.valueOf(if (n <= 4) topnum else dupnum)
+      n += 1
+    }
+    new GenericArrayData(nums)
+  }
 }
 
 /** `graft_trigram_topk(text, k)` → `array<string>` — the per-document
@@ -173,6 +237,35 @@ case class TrigramTopK(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): TrigramTopK =
     copy(left = newLeft, right = newRight)
+}
+
+/** `graft_repetition(text)` → `array<long>` — the Gopher §A1.1 within-doc
+  * repetition numerators ([top₂, top₃, top₄, dup₅ … dup₁₀], see
+  * [[TextKernel.repetitionNums]]) as ONE kernel call. The composed form
+  * explodes the document into NINE word-n-gram streams (n = 2..10) and
+  * shuffles every (doc, n, gram) occurrence into a two-level count
+  * aggregate; this kernel keeps all nine counts in-row, so the per-doc
+  * feature is a map-only projection (RepetitionSpec pins fused == composed;
+  * the q_repetition DuckDB oracle passes against both).
+  */
+case class RepetitionNums(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  import org.apache.spark.sql.types.LongType
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_repetition"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernel.repetitionNums(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.expr.TextKernel.repetitionNums($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionNums =
+    copy(child = newChild)
 }
 
 /** SimHash kernel — EXACTLY [[graft.dedup.Dedup.simhash64]]'s UDF body:

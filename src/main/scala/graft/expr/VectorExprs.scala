@@ -586,6 +586,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TrigramTopK].getName, "graft_trigram_topk"),
       (children: Seq[Expression]) => TrigramTopK(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_repetition"),
+      new ExpressionInfo(classOf[RepetitionNums].getName, "graft_repetition"),
+      (children: Seq[Expression]) => RepetitionNums(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashFingerprint].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimhashFingerprint(children.head)))

@@ -144,6 +144,97 @@ object TextAnalysis {
           col("dup_line_frac") < 0.3)
   }
 
+  /** Gopher §A1.1's WITHIN-DOC n-gram repetition family (Rae et al. 2021 —
+    * public; the half of the published rule set [[gopherQualityRules]]
+    * doesn't cover): per document, over word n-grams of the
+    * whitespace-split tokens,
+    *  - `top_{2,3,4}gram_frac` — fraction of characters covered by all
+    *    occurrences of the MOST FREQUENT n-gram (count DESC, gram ASC in
+    *    binary string order; 0 unless it occurs ≥ 2 times — a gram seen
+    *    once is not repetition);
+    *  - `dup_{5..10}gram_frac` — fraction of characters covered by all
+    *    occurrences of n-grams occurring ≥ 2 times.
+    * Characters = CODE POINTS of the gram (token chars + joining spaces) ×
+    * occurrence count, over the single-spaced normalized text's length —
+    * overlapping occurrences may overcount, so fractions CAP at 1.0; all
+    * rounded 4dp (the repo's cross-engine float pin, integer numerators
+    * divided once). `rep_pass` applies the published thresholds to the
+    * ROUNDED fractions: top < 0.20/0.18/0.16, dup < 0.15/0.14/0.13/0.12/
+    * 0.11/0.10.
+    *
+    * Scale shape (fused default): all nine numerators compute IN-ROW via
+    * `graft_repetition` — a map-only projection, no shuffle at all (the
+    * 100 TB shape for per-doc filters). Extension-less fallback
+    * [[repetitionNumsComposed]]: nine n-gram explodes unioned into one
+    * (doc, n, gram) count aggregate — 9× the scan and a full gram-stream
+    * exchange, kept only as the semantic twin (RepetitionSpec pins
+    * parity; the q_repetition DuckDB oracle replays the same counts via
+    * SQL window rank).
+    */
+  def repetitionFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val allNs = Seq(2, 3, 4, 5, 6, 7, 8, 9, 10)
+    def name(n: Int): String =
+      if (n <= 4) s"top_${n}gram_frac" else s"dup_${n}gram_frac"
+    val thresholds = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16,
+      5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+    val total = greatest(
+      length(array_join(split(trim(col(textCol)), "\\s+"), " ")), lit(1))
+      .cast("double")
+    var out =
+      if (graft.expr.VectorFunctions.available(df.sparkSession))
+        // fused: numerators inline — the whole operator is ONE projection
+        df.select(col(idCol), col(textCol))
+          .withColumn("__n9", call_function("graft_repetition", col(textCol)))
+      else
+        // composed twin: gram-less docs are restored by the left join +
+        // coalesce-zero (the gram explode drops them)
+        df.select(col(idCol), col(textCol))
+          .join(repetitionNumsComposed(df, idCol, textCol),
+            col(idCol) === col("__rep_id"), "left")
+          .withColumn("__n9",
+            coalesce(col("__nums"), array(Seq.fill(9)(lit(0L)): _*)))
+    allNs.zipWithIndex.foreach { case (n, i) =>
+      out = out.withColumn(name(n),
+        round(least(element_at(col("__n9"), i + 1).cast("double") / total,
+          lit(1.0)), 4))
+    }
+    out
+      .withColumn("rep_pass",
+        allNs.map(n => col(name(n)) < thresholds(n)).reduce(_ && _))
+      .drop("__rep_id", "__nums", "__n9", textCol)
+  }
+
+  /** The extension-less twin of `graft_repetition`: (\_\_rep_id, __nums)
+    * per document that has at least one n-gram for some n (gram-less docs
+    * are restored by [[repetitionFeatures]]'s left join + coalesce-zero).
+    */
+  private[graft] def repetitionNumsComposed(df: DataFrame, idCol: String,
+                                            textCol: String): DataFrame = {
+    val allNs = Seq(2, 3, 4, 5, 6, 7, 8, 9, 10)
+    val perN = allNs.map { n =>
+      df.select(col(idCol).as("__rep_id"), lit(n).as("n"),
+        explode(ngramsWithMultiplicity(col(textCol), n)).as("gram"))
+    }.reduce(_ union _)
+    val counts = perN.groupBy(col("__rep_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val pern = counts.groupBy(col("__rep_id"), col("n"))
+      .agg(
+        min(struct((-col("c")).as("nc"), col("gram"))).as("top"),
+        sum(when(col("c") >= 2, col("c") * length(col("gram")))).as("dup"))
+      .select(col("__rep_id"), col("n"),
+        when(-col("top.nc") >= 2, (-col("top.nc")) * length(col("top.gram")))
+          .otherwise(0L).cast("long").as("topnum"),
+        coalesce(col("dup"), lit(0L)).cast("long").as("dupnum"))
+    val aggExprs = allNs.map { n =>
+      val src = if (n <= 4) col("topnum") else col("dupnum")
+      coalesce(sum(when(col("n") === n, src)), lit(0L)).as(s"__v$n")
+    }
+    val agged = pern.groupBy(col("__rep_id"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    agged.select(col("__rep_id"),
+      array(allNs.map(n => col(s"__v$n")): _*).as("__nums"))
+  }
+
   /** PII scrub patterns (C4/CCNet-style redaction — Raffel et al. 2020).
     * Deliberately ASCII-only and backreference-free so Java regex (Spark)
     * and RE2 (DuckDB oracle) accept the same language: emails, dotted-quad
