@@ -125,7 +125,9 @@ object Bench {
       ("dedup_lines",      SparkEntry.queries("q_dedup_lines"),      2),
       ("lm_score",         SparkEntry.queries("q_lm_score"),         2),
       ("domain_mix",       SparkEntry.queries("q_domain_mix"),       2),
-      ("curation",         SparkEntry.queries("q_curation"),         2)
+      ("curation",         SparkEntry.queries("q_curation"),         2),
+      ("repetition",       SparkEntry.queries("q_repetition"),       2),
+      ("ann_pq",           SparkEntry.queries("q_ann_pq"),           2)
     )
     // best-of-N minimum = the least-interfered estimate on a host with 2-3×
     // CPU-steal storms (see BASELINE.md methodology)

@@ -490,6 +490,18 @@ object SparkEntry {
         nLists = 8, nProbe = 4, iters = 2, quantizerSampleMod = 1L)
     },
 
+    // Product-quantization ANN (Jégou et al. 2011 ADC): corpus encoded as
+    // numSub codebook indices, search = broadcast distance-table lookups.
+    // Exact oracle = HashOracleSql.qAnnPqSql (per-subspace k-means unrolled
+    // in SQL) + the supp_ann_pq py port.
+    "q_ann_pq" -> { (s, dir) =>
+      // quantizerSampleMod = 1 pins full-corpus training (same rationale as
+      // q_ann_ivf: the exact semantics both oracles recompute)
+      Similarity.pqTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", queryIds = (0L until 10L), k = 5,
+        numSub = 4, numCodes = 16, iters = 2, quantizerSampleMod = 1L)
+    },
+
     // embedding-cosine near-dup pairs, brute-force SMALL-CORPUS BASELINE —
     // kept only as the DuckDB-checkable ground truth for the LSH path below.
     "q_embed_dedup" -> { (s, dir) =>
@@ -2130,6 +2142,11 @@ object SparkEntry {
     "q_minhash_lsh" -> graft.oracle.HashOracleSql.qMinhashLshSql(
       n = 3, numHashes = 24, bands = 4, tau = 0.3, maxBucketSize = 500),
     "q_ann_ivf" -> graft.oracle.HashOracleSql.qAnnIvfSql(
-      nLists = 8, nProbe = 4, iters = 2, seed = 42L, k = 5, nQueries = 10)
+      nLists = 8, nProbe = 4, iters = 2, seed = 42L, k = 5, nQueries = 10),
+    // dim = 64 mirrors the embeddings fixture width at every SF (pqTopK
+    // detects it; the oracle must pin it to unroll the subspace slices)
+    "q_ann_pq" -> graft.oracle.HashOracleSql.qAnnPqSql(
+      dim = 64, numSub = 4, numCodes = 16, iters = 2, seed = 42L,
+      k = 5, nQueries = 10)
   )
 }

@@ -309,6 +309,178 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("cosine"))
   }
 
+  /** Product-quantization ANN (Jégou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search" — the FAISS `IndexPQ` shape): the vector is
+    * split into `numSub` contiguous subspaces of `dim/numSub` dims; each
+    * subspace gets its own `numCodes`-centroid codebook (the same
+    * deterministic k-means-lite as [[ivfTopK]]: hash-ranked init rows shared
+    * across subspaces, `iters` iterations, floor(x·2^32) order-independent
+    * means, strict first-minimum assignment). The corpus is then ENCODED as
+    * `numSub` small ints — at real scale that is the point: a 64-float
+    * vector becomes 4 bytes-ish of codes, and the candidate stream ships
+    * codes only, never vectors.
+    *
+    * Search is classic ADC (asymmetric distance computation): per query a
+    * (numSub × numCodes) table of exact subspace distances to every
+    * centroid is computed driver-side and broadcast; a candidate's
+    * approximate distance is the sum of `numSub` table lookups — pure
+    * codegen'd arithmetic per row (no lambda, no UDF). Ranked by
+    * (rounded adc asc, id asc); `adc` is a squared-L2 estimate, NOT cosine
+    * (PQ's native metric), which is why the output column is `adc`.
+    *
+    * FULLY deterministic across engines, same discipline as [[ivfTopK]]:
+    * every float step has a pinned op order (subspace distance = ascending-
+    * dim fold; adc = ascending-subspace fold; HALF_UP 4-dp rounding), so
+    * the q_ann_pq DuckDB oracle (`HashOracleSql.qAnnPqSql`) and the
+    * `supp_ann_pq` Python port recompute the EXACT output. Keep all three
+    * in lockstep.
+    *
+    * Composition note: this is the in-list re-rank half of IVF-PQ; compose
+    * with [[ivfTopK]]'s coarse lists (filter to probed clusters first) when
+    * a linear codes scan per query is still too much. The codes scan itself
+    * is map-only + one per-query top-k.
+    *
+    * @param quantizerSampleMod same contract as [[ivfTopK]]: 0 = AUTO
+    *        planner-stats bound, 1 = full-corpus training (the oracle pin),
+    *        >1 = explicit hash-predicate sample rate.
+    */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+             queryIds: Seq[Long], k: Int, numSub: Int = 4,
+             numCodes: Int = 16, iters: Int = 2, seed: Long = 42L,
+             quantizerSampleMod: Long = 0L): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    detectDim(df, vecCol) match {
+      case None =>
+        base.select(col("id").as("qid"), lit(1).as("rank"),
+          col("id").as("neighbor_id"), lit(0.0).as("adc")).limit(0)
+      case Some(dim) =>
+        require(dim % numSub == 0,
+          s"pqTopK: dim $dim not divisible into $numSub subspaces")
+        val ds = dim / numSub
+        val quantScale = 4294967296.0 // 2^32
+
+        def nearest(cents: Array[Array[Double]])(sv: Column): Column =
+          if (graft.expr.VectorFunctions.available(spark))
+            call_function("graft_nearest_centroid", sv,
+              typedlit(cents.map(_.toSeq).toSeq))
+          else {
+            val bc = graft.util.Bc(spark.sparkContext.broadcast(cents))
+            val u = udf { v: Seq[Double] =>
+              var best = -1; var bestD = Double.MaxValue
+              var c = 0
+              val m = bc.get
+              while (c < m.length) {
+                val row = m(c)
+                var d = 0.0; var i = 0
+                while (i < row.length) { val x = v(i) - row(i); d += x * x; i += 1 }
+                if (d < bestD) { bestD = d; best = c }
+                c += 1
+              }
+              best
+            }
+            u(sv)
+          }
+        def sub(mm: Int): Column = slice(col("v"), mm * ds + 1, ds)
+
+        val effectiveMod: Long =
+          if (quantizerSampleMod >= 1L) quantizerSampleMod else autoSampleMod(df)
+        val trainSet = (
+          if (effectiveMod <= 1L) base
+          else base.filter(pmod(xxhash64(col("id"), lit(seed)), lit(effectiveMod)) === 0)
+        ).cache()
+
+        // init rows shared across subspaces: the numCodes sampled vectors
+        // with smallest (hash(id, seed), id); row j seeds code j in EVERY
+        // subspace codebook (its mm-th subvector)
+        val initRows: Array[Array[Double]] = trainSet
+          .withColumn("__h", xxhash64(col("id"), lit(seed)))
+          .orderBy(col("__h"), col("id")).limit(numCodes)
+          .select(col("v")).collect()
+          .map(_.getSeq[Double](0).toArray)
+        require(initRows.nonEmpty,
+          s"pqTopK: quantizer train set is empty (effective sample mod " +
+            s"$effectiveMod over an empty/undersized corpus) — pass an " +
+            "explicit quantizerSampleMod sized to the source")
+        // codebooks(mm)(j) = centroid j of subspace mm
+        var codebooks: Array[Array[Array[Double]]] =
+          Array.tabulate(numSub)(mm =>
+            initRows.map(v => java.util.Arrays.copyOfRange(v, mm * ds, (mm + 1) * ds)))
+
+        // iterations: ONE pass assigns every subspace (explode over mm),
+        // means are the floor(x*2^32) long sums — order-independent
+        (1 to iters).foreach { _ =>
+          val perM = (0 until numSub).map { mm =>
+            struct(lit(mm).as("m"), nearest(codebooks(mm))(sub(mm)).as("code"),
+              sub(mm).as("sv"))
+          }
+          val next = trainSet.select(explode(array(perM: _*)).as("e"))
+            .select(col("e.m").as("m"), col("e.code").as("code"),
+              posexplode(col("e.sv")).as(Seq("dim", "x")))
+            .groupBy("m", "code", "dim")
+            .agg(((sum(floor(col("x") * lit(quantScale))).cast("double") / lit(quantScale))
+              / count(lit(1)).cast("double")).as("mean"))
+            .groupBy("m", "code")
+            .agg(sort_array(collect_list(struct(col("dim"), col("mean")))).as("s"))
+            .select(col("m"), col("code"), expr("transform(s, p -> p.mean)").as("c"))
+            .collect()
+            .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+            .toMap
+          codebooks = Array.tabulate(numSub)(mm =>
+            codebooks(mm).zipWithIndex.map { case (old, j) =>
+              next.getOrElse((mm, j), old)
+            })
+        }
+        trainSet.unpersist(false)
+
+        // encode: the candidate stream is (id, codes) — vectors never leave
+        // the scan
+        val codesCol = array((0 until numSub).map(mm =>
+          nearest(codebooks(mm))(sub(mm))): _*)
+        val encoded = base.withColumn("codes", codesCol).select("id", "codes")
+
+        // per-query ADC tables, driver-side (numSub × numCodes doubles each;
+        // queries are an explicit tiny list by contract) — flattened so the
+        // lookup is element_at(dt, m*numCodes + code + 1)
+        val qRows = base.filter(col("id").isInCollection(queryIds))
+          .select(col("id"), col("v")).collect()
+        val dts: Seq[(Long, Seq[Double])] = qRows.toSeq.map { r =>
+          val qv = r.getSeq[Double](1).toArray
+          val dt = new Array[Double](numSub * numCodes)
+          var mm = 0
+          while (mm < numSub) {
+            var j = 0
+            while (j < codebooks(mm).length) {
+              val c = codebooks(mm)(j)
+              var d = 0.0; var i = 0
+              while (i < ds) { val x = qv(mm * ds + i) - c(i); d += x * x; i += 1 }
+              dt(mm * numCodes + j) = d
+              j += 1
+            }
+            mm += 1
+          }
+          (r.getLong(0), dt.toSeq)
+        }
+        import spark.implicits._
+        val qdf = dts.toDF("qid", "dt")
+
+        // adc = ascending-subspace left fold of table lookups — composed
+        // `+` chain, NO higher-order function (ArrayAggregate lambdas are
+        // CodegenFallback; this stays inside whole-stage codegen)
+        val adc = (0 until numSub).map(mm =>
+          element_at(col("dt"),
+            lit(mm * numCodes) + element_at(col("codes"), lit(mm + 1)) + lit(1)))
+          .reduce(_ + _)
+        val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("id").asc)
+        encoded.join(broadcast(qdf), col("id") =!= col("qid"))
+          .withColumn("adc", round(adc, 4))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("adc"))
+    }
+  }
+
   /** ANN top-k via LSH buckets: candidates share at least one of the
     * `tables` bucket signatures (multi-probe by table, classic OR-construction
     * over AND-buckets); exact cosine re-rank within candidates.

@@ -433,4 +433,81 @@ object HashOracleSql {
        |  FROM cand)
        |WHERE rank <= $k""".stripMargin
   }
+
+  /** q_ann_pq: [[graft.ann.Similarity.pqTopK]] unrolled — the SAME hash-ranked
+    * init rows as q_ann_ivf (shared across subspaces: row j seeds code j of
+    * every subspace codebook), `iters` per-subspace k-means iterations with
+    * the floor(x*2^32) order-independent mean, full-corpus encoding
+    * (first-minimum tie-break = ORDER BY dist, cid), per-query exact subspace
+    * distance tables, and ADC = the ascending-subspace sequential fold of
+    * table lookups. Keep in lockstep with pqTopK AND supp_ann_pq in
+    * tools/check_oracle.py. */
+  def qAnnPqSql(dim: Int, numSub: Int, numCodes: Int, iters: Int, seed: Long,
+                k: Int, nQueries: Int): String = {
+    require(dim % numSub == 0)
+    val ds = dim / numSub
+    def seqSqDist(v: String, c: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(0, len($c)), i -> " +
+        s"(($v[i+1]) - ($c[i+1])) * (($v[i+1]) - ($c[i+1])))), (a, x) -> a + x)"
+    val hinit = nest(
+      nest("SELECT id, v, CAST(id AS HUGEINT) AS idh FROM v",
+        hashLongSteps("idh", "CAST(42 AS HUGEINT)", "p")),
+      hashLongSteps(s"CAST($seed AS HUGEINT)", "pf", "q"))
+    // assignment of every (row, subspace) against codebook CTE `cb`
+    def assign(cb: String): String =
+      s"""
+         |  SELECT id, m, sv, cid FROM (
+         |    SELECT s.id, s.m, s.sv, c.cid,
+         |           row_number() OVER (PARTITION BY s.id, s.m ORDER BY ${seqSqDist("s.sv", "c.c")}, c.cid) AS rn
+         |    FROM sub s JOIN $cb c ON s.m = c.m) WHERE rn = 1""".stripMargin
+    def update(asg: String, prev: String): String =
+      s"""
+         |  SELECT p.m, p.cid, COALESCE(n.c, p.c) AS c FROM $prev p LEFT JOIN (
+         |    SELECT m, cid, list((CAST(s AS DOUBLE) / 4294967296.0) / CAST(cnt AS DOUBLE) ORDER BY dim) AS c
+         |    FROM (
+         |      SELECT a.m, a.cid, u.e.dim AS dim,
+         |             CAST(SUM(u.e.s) AS BIGINT) AS s, COUNT(*) AS cnt
+         |      FROM $asg a, UNNEST(list_transform(range(0, len(a.sv)), i ->
+         |             struct_pack(dim := i, s := CAST(floor(a.sv[i+1] * 4294967296.0) AS BIGINT)))) u(e)
+         |      GROUP BY 1, 2, 3)
+         |    GROUP BY m, cid) n ON p.m = n.m AND p.cid = n.cid""".stripMargin
+    val iterCtes = (1 to iters).flatMap { t =>
+      val prev = if (t == 1) "cb0" else s"cb${t - 1}"
+      Seq(s"asg$t AS (${assign(prev)})", s"cb$t AS (${update(s"asg$t", prev)})")
+    }
+    val last = s"cb$iters"
+    s"""WITH v AS (
+       |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |hinit AS (SELECT id, v, ${signed("qf")} AS h FROM ($hinit)),
+       |init AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY h, id) AS INT) - 1 AS cid, v
+       |  FROM hinit ORDER BY h, id LIMIT $numCodes),
+       |sub AS (
+       |  SELECT id, m, v[m*$ds+1 : (m+1)*$ds] AS sv
+       |  FROM v, range(0, $numSub) mm(m)),
+       |cb0 AS (
+       |  SELECT m, cid, v[m*$ds+1 : (m+1)*$ds] AS c
+       |  FROM init, range(0, $numSub) mm(m)),
+       |${iterCtes.mkString(",\n")},
+       |codes AS (${assign(last)}),
+       |q AS (SELECT id AS qid, v AS qv FROM v WHERE id < $nQueries),
+       |qsub AS (
+       |  SELECT qid, m, qv[m*$ds+1 : (m+1)*$ds] AS qsv
+       |  FROM q, range(0, $numSub) mm(m)),
+       |dt AS (
+       |  SELECT qs.qid, qs.m, c.cid, ${seqSqDist("qs.qsv", "c.c")} AS d
+       |  FROM qsub qs JOIN $last c ON qs.m = c.m),
+       |adc AS (
+       |  SELECT d.qid, cd.id,
+       |         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d.d ORDER BY d.m)), (a, x) -> a + x), 4) AS adc
+       |  FROM codes cd JOIN dt d ON d.m = cd.m AND d.cid = cd.cid
+       |  WHERE cd.id <> d.qid
+       |  GROUP BY d.qid, cd.id)
+       |SELECT qid, CAST(rank AS INT) AS rank, id AS neighbor_id, adc FROM (
+       |  SELECT qid, id, adc,
+       |         row_number() OVER (PARTITION BY qid ORDER BY adc ASC, id ASC) AS rank
+       |  FROM adc)
+       |WHERE rank <= $k""".stripMargin
+  }
 }

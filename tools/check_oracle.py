@@ -305,6 +305,78 @@ def supp_ann_ivf(con, n_lists=8, n_probe=4, iters=2, seed=42, k=5,
     df = pd.DataFrame(rows, columns=["qid", "rank", "neighbor_id", "cosine"])
     return df.astype({"qid": "int64", "rank": "int32", "neighbor_id": "int64"})
 
+def supp_ann_pq(con, num_sub=4, num_codes=16, iters=2, seed=42, k=5,
+                query_ids=range(10)):
+    """Exact port of graft.ann.Similarity.pqTopK at SparkEntry's q_ann_pq
+    parameters: hash-ranked init rows shared across subspaces, per-subspace
+    k-means with the floor(x*2^32) order-independent mean, first-minimum
+    encoding, ADC = ascending-subspace fold of exact distance-table lookups,
+    HALF_UP 4-dp rounding. Keep in lockstep with pqTopK AND
+    HashOracleSql.qAnnPqSql."""
+    import math
+    emb = con.execute("SELECT vec_id, embedding FROM embeddings").df()
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding]
+            for r in emb.itertuples()}
+    dim = len(next(iter(vecs.values())))
+    assert dim % num_sub == 0
+    ds = dim // num_sub
+
+    def xxh_id(i):
+        return signed64(xxh64_long(seed, xxh64_long(i, 42)))
+
+    def nearest(sv, cents):
+        best, best_d = -1, float("inf")
+        for cid, c in enumerate(cents):
+            d = 0.0
+            for i in range(len(c)):
+                x = sv[i] - c[i]
+                d += x * x
+            if d < best_d:
+                best_d, best = d, cid
+        return best
+
+    init = sorted(vecs, key=lambda i: (xxh_id(i), i))[:num_codes]
+    # codebooks[m][j] = subvector m of init row j
+    cbs = [[vecs[i][m * ds:(m + 1) * ds] for i in init]
+           for m in range(num_sub)]
+    scale = 4294967296.0  # 2^32
+    for _ in range(iters):
+        for m in range(num_sub):
+            sums, cnts = {}, {}
+            for i, v in vecs.items():
+                sv = v[m * ds:(m + 1) * ds]
+                c = nearest(sv, cbs[m])
+                cnts[c] = cnts.get(c, 0) + 1
+                s = sums.setdefault(c, [0] * ds)
+                for d in range(ds):
+                    s[d] += math.floor(sv[d] * scale)
+            cbs[m] = [[(float(sums[j][d]) / scale) / float(cnts[j])
+                       for d in range(ds)] if j in sums else old
+                      for j, old in enumerate(cbs[m])]
+    codes = {i: [nearest(v[m * ds:(m + 1) * ds], cbs[m])
+                 for m in range(num_sub)]
+             for i, v in vecs.items()}
+
+    rows = []
+    for qid in query_ids:
+        if qid not in vecs:
+            continue
+        qv = vecs[qid]
+        dt = [[sum_seq(range(ds),
+                       lambda i: (qv[m * ds + i] - c[i]) * (qv[m * ds + i] - c[i]))
+               for c in cbs[m]] for m in range(num_sub)]
+        cand = []
+        for i, cd in codes.items():
+            if i == qid:
+                continue
+            adc = sum_seq(range(num_sub), lambda m: dt[m][cd[m]])
+            cand.append((i, _round4(adc)))
+        cand.sort(key=lambda t: (t[1], t[0]))
+        for rank, (i, adc) in enumerate(cand[:k], start=1):
+            rows.append((qid, rank, i, adc))
+    df = pd.DataFrame(rows, columns=["qid", "rank", "neighbor_id", "adc"])
+    return df.astype({"qid": "int64", "rank": "int32", "neighbor_id": "int64"})
+
 def sum_seq(xs, f):
     """Strict left-to-right double fold — the JVM loop order."""
     s = 0.0
@@ -387,6 +459,7 @@ SUPPLEMENTARY = {
     "q_simhash_pairs": supp_simhash_pairs,
     "q_minhash_lsh": supp_minhash_lsh,
     "q_ann_ivf": supp_ann_ivf,
+    "q_ann_pq": supp_ann_pq,
 }
 
 # ------------------------------------------------------------------ main ---
