@@ -127,7 +127,8 @@ object Bench {
       ("domain_mix",       SparkEntry.queries("q_domain_mix"),       2),
       ("curation",         SparkEntry.queries("q_curation"),         2),
       ("repetition",       SparkEntry.queries("q_repetition"),       2),
-      ("ann_pq",           SparkEntry.queries("q_ann_pq"),           2)
+      ("ann_pq",           SparkEntry.queries("q_ann_pq"),           2),
+      ("ann_ivfpq",        SparkEntry.queries("q_ann_ivfpq"),        2)
     )
     // best-of-N minimum = the least-interfered estimate on a host with 2-3×
     // CPU-steal storms (see BASELINE.md methodology)

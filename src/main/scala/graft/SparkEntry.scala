@@ -502,6 +502,16 @@ object SparkEntry {
         numSub = 4, numCodes = 16, iters = 2, quantizerSampleMod = 1L)
     },
 
+    // IVF-PQ ANN (FAISS IndexIVFPQ shape, by_residual=false): coarse lists
+    // prune the corpus, PQ ADC ranks the survivors — the search ships
+    // (id, cluster, codes) rows only, never vectors.
+    "q_ann_ivfpq" -> { (s, dir) =>
+      Similarity.ivfPqTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", queryIds = (0L until 10L), k = 5,
+        nLists = 8, nProbe = 4, coarseIters = 2, numSub = 4, numCodes = 16,
+        pqIters = 2, quantizerSampleMod = 1L)
+    },
+
     // embedding-cosine near-dup pairs, brute-force SMALL-CORPUS BASELINE —
     // kept only as the DuckDB-checkable ground truth for the LSH path below.
     "q_embed_dedup" -> { (s, dir) =>
@@ -2147,6 +2157,9 @@ object SparkEntry {
     // detects it; the oracle must pin it to unroll the subspace slices)
     "q_ann_pq" -> graft.oracle.HashOracleSql.qAnnPqSql(
       dim = 64, numSub = 4, numCodes = 16, iters = 2, seed = 42L,
-      k = 5, nQueries = 10)
+      k = 5, nQueries = 10),
+    "q_ann_ivfpq" -> graft.oracle.HashOracleSql.qAnnIvfPqSql(
+      dim = 64, nLists = 8, nProbe = 4, coarseIters = 2, numSub = 4,
+      numCodes = 16, pqIters = 2, seed = 42L, k = 5, nQueries = 10)
   )
 }

@@ -359,127 +359,234 @@ object Similarity {
         require(dim % numSub == 0,
           s"pqTopK: dim $dim not divisible into $numSub subspaces")
         val ds = dim / numSub
-        val quantScale = 4294967296.0 // 2^32
-
-        def nearest(cents: Array[Array[Double]])(sv: Column): Column =
-          if (graft.expr.VectorFunctions.available(spark))
-            call_function("graft_nearest_centroid", sv,
-              typedlit(cents.map(_.toSeq).toSeq))
-          else {
-            val bc = graft.util.Bc(spark.sparkContext.broadcast(cents))
-            val u = udf { v: Seq[Double] =>
-              var best = -1; var bestD = Double.MaxValue
-              var c = 0
-              val m = bc.get
-              while (c < m.length) {
-                val row = m(c)
-                var d = 0.0; var i = 0
-                while (i < row.length) { val x = v(i) - row(i); d += x * x; i += 1 }
-                if (d < bestD) { bestD = d; best = c }
-                c += 1
-              }
-              best
-            }
-            u(sv)
-          }
-        def sub(mm: Int): Column = slice(col("v"), mm * ds + 1, ds)
-
-        val effectiveMod: Long =
-          if (quantizerSampleMod >= 1L) quantizerSampleMod else autoSampleMod(df)
-        val trainSet = (
-          if (effectiveMod <= 1L) base
-          else base.filter(pmod(xxhash64(col("id"), lit(seed)), lit(effectiveMod)) === 0)
-        ).cache()
-
-        // init rows shared across subspaces: the numCodes sampled vectors
-        // with smallest (hash(id, seed), id); row j seeds code j in EVERY
-        // subspace codebook (its mm-th subvector)
-        val initRows: Array[Array[Double]] = trainSet
-          .withColumn("__h", xxhash64(col("id"), lit(seed)))
-          .orderBy(col("__h"), col("id")).limit(numCodes)
-          .select(col("v")).collect()
-          .map(_.getSeq[Double](0).toArray)
-        require(initRows.nonEmpty,
-          s"pqTopK: quantizer train set is empty (effective sample mod " +
-            s"$effectiveMod over an empty/undersized corpus) — pass an " +
-            "explicit quantizerSampleMod sized to the source")
-        // codebooks(mm)(j) = centroid j of subspace mm
-        var codebooks: Array[Array[Array[Double]]] =
-          Array.tabulate(numSub)(mm =>
-            initRows.map(v => java.util.Arrays.copyOfRange(v, mm * ds, (mm + 1) * ds)))
-
-        // iterations: ONE pass assigns every subspace (explode over mm),
-        // means are the floor(x*2^32) long sums — order-independent
-        (1 to iters).foreach { _ =>
-          val perM = (0 until numSub).map { mm =>
-            struct(lit(mm).as("m"), nearest(codebooks(mm))(sub(mm)).as("code"),
-              sub(mm).as("sv"))
-          }
-          val next = trainSet.select(explode(array(perM: _*)).as("e"))
-            .select(col("e.m").as("m"), col("e.code").as("code"),
-              posexplode(col("e.sv")).as(Seq("dim", "x")))
-            .groupBy("m", "code", "dim")
-            .agg(((sum(floor(col("x") * lit(quantScale))).cast("double") / lit(quantScale))
-              / count(lit(1)).cast("double")).as("mean"))
-            .groupBy("m", "code")
-            .agg(sort_array(collect_list(struct(col("dim"), col("mean")))).as("s"))
-            .select(col("m"), col("code"), expr("transform(s, p -> p.mean)").as("c"))
-            .collect()
-            .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
-            .toMap
-          codebooks = Array.tabulate(numSub)(mm =>
-            codebooks(mm).zipWithIndex.map { case (old, j) =>
-              next.getOrElse((mm, j), old)
-            })
-        }
+        val trainSet = sampledTrainSet(df, base, seed, quantizerSampleMod).cache()
+        val codebooks = trainCodebooks(spark, trainSet, numSub, ds, numCodes,
+          iters, seed)
         trainSet.unpersist(false)
 
         // encode: the candidate stream is (id, codes) — vectors never leave
         // the scan
-        val codesCol = array((0 until numSub).map(mm =>
-          nearest(codebooks(mm))(sub(mm))): _*)
-        val encoded = base.withColumn("codes", codesCol).select("id", "codes")
-
-        // per-query ADC tables, driver-side (numSub × numCodes doubles each;
-        // queries are an explicit tiny list by contract) — flattened so the
-        // lookup is element_at(dt, m*numCodes + code + 1)
-        val qRows = base.filter(col("id").isInCollection(queryIds))
-          .select(col("id"), col("v")).collect()
-        val dts: Seq[(Long, Seq[Double])] = qRows.toSeq.map { r =>
-          val qv = r.getSeq[Double](1).toArray
-          val dt = new Array[Double](numSub * numCodes)
-          var mm = 0
-          while (mm < numSub) {
-            var j = 0
-            while (j < codebooks(mm).length) {
-              val c = codebooks(mm)(j)
-              var d = 0.0; var i = 0
-              while (i < ds) { val x = qv(mm * ds + i) - c(i); d += x * x; i += 1 }
-              dt(mm * numCodes + j) = d
-              j += 1
-            }
-            mm += 1
-          }
-          (r.getLong(0), dt.toSeq)
-        }
-        import spark.implicits._
-        val qdf = dts.toDF("qid", "dt")
-
-        // adc = ascending-subspace left fold of table lookups — composed
-        // `+` chain, NO higher-order function (ArrayAggregate lambdas are
-        // CodegenFallback; this stays inside whole-stage codegen)
-        val adc = (0 until numSub).map(mm =>
-          element_at(col("dt"),
-            lit(mm * numCodes) + element_at(col("codes"), lit(mm + 1)) + lit(1)))
-          .reduce(_ + _)
+        val encoded = base
+          .withColumn("codes", codesColumn(spark, codebooks, ds))
+          .select("id", "codes")
+        val qdf = adcTables(spark, base, queryIds, codebooks, ds, numCodes)
         val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("id").asc)
         encoded.join(broadcast(qdf), col("id") =!= col("qid"))
-          .withColumn("adc", round(adc, 4))
+          .withColumn("adc", round(adcLookupSum(numSub, numCodes), 4))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= k)
           .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("adc"))
     }
   }
+
+  /** IVF-PQ ANN — the composition of both scale paths, and the shape a real
+    * billion-row deployment runs (FAISS `IndexIVFPQ` with
+    * `by_residual=false`): the coarse quantizer prunes the corpus to the
+    * query's `nProbe` nearest inverted lists (exactly [[ivfTopK]]'s
+    * machinery — the coarse k-means IS [[trainCodebooks]] at numSub=1), and
+    * the surviving candidates are ranked by PQ ADC over broadcast distance
+    * tables (exactly [[pqTopK]]'s machinery) — so the search never touches a
+    * vector: the candidate stream is (id, cluster, codes), the probe filter
+    * is a broadcast equi-join on cluster, and the ADC is a codegen'd lookup
+    * sum. Deterministic across engines like its two halves; the q_ann_ivfpq
+    * DuckDB oracle (`HashOracleSql.qAnnIvfPqSql`) and the `supp_ann_ivfpq`
+    * python port recompute the exact output. Keep all three in lockstep.
+    *
+    * Recall < 1 two ways by construction (pruned lists + quantized
+    * distances) — PqSpec ties it to its halves instead of to brute force.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                queryIds: Seq[Long], k: Int, nLists: Int = 8, nProbe: Int = 4,
+                coarseIters: Int = 2, numSub: Int = 4, numCodes: Int = 16,
+                pqIters: Int = 2, seed: Long = 42L,
+                quantizerSampleMod: Long = 0L): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    detectDim(df, vecCol) match {
+      case None =>
+        base.select(col("id").as("qid"), lit(1).as("rank"),
+          col("id").as("neighbor_id"), lit(0.0).as("adc")).limit(0)
+      case Some(dim) =>
+        require(dim % numSub == 0,
+          s"ivfPqTopK: dim $dim not divisible into $numSub subspaces")
+        val ds = dim / numSub
+        val trainSet = sampledTrainSet(df, base, seed, quantizerSampleMod).cache()
+        // coarse centroids = the numSub=1 codebook (full-vector k-means,
+        // bit-identical to ivfTopK's training)
+        val coarse = trainCodebooks(spark, trainSet, 1, dim, nLists,
+          coarseIters, seed).head
+        val codebooks = trainCodebooks(spark, trainSet, numSub, ds, numCodes,
+          pqIters, seed)
+        trainSet.unpersist(false)
+
+        val encoded = base
+          .withColumn("cluster", nearestExpr(spark, coarse)(col("v")))
+          .withColumn("codes", codesColumn(spark, codebooks, ds))
+          .select("id", "cluster", "codes")
+
+        // query → nProbe nearest coarse lists, driver-side (same fixed-order
+        // arithmetic and stable (dist, cid) order as ivfTopK's probes)
+        val qRows = base.filter(col("id").isInCollection(queryIds))
+          .select(col("id"), col("v")).collect()
+        val probes = qRows.toSeq.flatMap { r =>
+          val qv = r.getSeq[Double](1).toArray
+          coarse.zipWithIndex.map { case (c, cid) =>
+            var d = 0.0; var i = 0
+            while (i < c.length) { val x = qv(i) - c(i); d += x * x; i += 1 }
+            (r.getLong(0), cid, d)
+          }.sortBy(_._3).take(nProbe).map(t => (t._1, t._2))
+        }
+        import spark.implicits._
+        val probeDf = probes.toDF("qid", "cluster")
+        val qdf = adcTables(spark, base, queryIds, codebooks, ds, numCodes)
+        val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("id").asc)
+        encoded.join(broadcast(probeDf), Seq("cluster"))
+          .join(broadcast(qdf), Seq("qid"))
+          .filter(col("id") =!= col("qid"))
+          .withColumn("adc", round(adcLookupSum(numSub, numCodes), 4))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("adc"))
+    }
+  }
+
+  /** Hash-predicate quantizer train set (the [[ivfTopK]] contract: mod 0 =
+    * AUTO planner-stats bound, 1 = full corpus, >1 = explicit rate).
+    * Caller caches/unpersists. */
+  private def sampledTrainSet(df: DataFrame, base: DataFrame, seed: Long,
+                              quantizerSampleMod: Long): DataFrame = {
+    val effectiveMod: Long =
+      if (quantizerSampleMod >= 1L) quantizerSampleMod else autoSampleMod(df)
+    if (effectiveMod <= 1L) base
+    else base.filter(pmod(xxhash64(col("id"), lit(seed)), lit(effectiveMod)) === 0)
+  }
+
+  /** Strict first-minimum nearest-centroid index — the fused
+    * `graft_nearest_centroid` expression, or the bit-identical Bc-cached UDF
+    * without the extension. */
+  private def nearestExpr(spark: org.apache.spark.sql.SparkSession,
+                          cents: Array[Array[Double]])(sv: Column): Column =
+    if (graft.expr.VectorFunctions.available(spark))
+      call_function("graft_nearest_centroid", sv,
+        typedlit(cents.map(_.toSeq).toSeq))
+    else {
+      val bc = graft.util.Bc(spark.sparkContext.broadcast(cents))
+      val u = udf { v: Seq[Double] =>
+        var best = -1; var bestD = Double.MaxValue
+        var c = 0
+        val m = bc.get
+        while (c < m.length) {
+          val row = m(c)
+          var d = 0.0; var i = 0
+          while (i < row.length) { val x = v(i) - row(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+      u(sv)
+    }
+
+  /** Deterministic per-subspace k-means over `trainSet` (columns id, v):
+    * init rows shared across subspaces — the `numCodes` sampled vectors with
+    * smallest (hash(id, seed), id), row j seeding code j of EVERY subspace
+    * codebook — then `iters` iterations where ONE pass assigns every
+    * subspace (explode over mm) and means are the floor(x·2^32) long sums
+    * (order-independent). numSub=1, ds=dim gives exactly [[ivfTopK]]'s
+    * full-vector coarse k-means. Returns codebooks(mm)(j) = centroid j of
+    * subspace mm. */
+  private[graft] def trainCodebooks(spark: org.apache.spark.sql.SparkSession,
+                                    trainSet: DataFrame, numSub: Int, ds: Int,
+                                    numCodes: Int, iters: Int,
+                                    seed: Long): Array[Array[Array[Double]]] = {
+    val quantScale = 4294967296.0 // 2^32
+    def sub(mm: Int): Column = slice(col("v"), mm * ds + 1, ds)
+    val initRows: Array[Array[Double]] = trainSet
+      .withColumn("__h", xxhash64(col("id"), lit(seed)))
+      .orderBy(col("__h"), col("id")).limit(numCodes)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(initRows.nonEmpty,
+      "trainCodebooks: quantizer train set is empty (over-aggressive " +
+        "quantizerSampleMod over an empty/undersized corpus) — pass an " +
+        "explicit quantizerSampleMod sized to the source")
+    var codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(numSub)(mm =>
+        initRows.map(v => java.util.Arrays.copyOfRange(v, mm * ds, (mm + 1) * ds)))
+    (1 to iters).foreach { _ =>
+      val perM = (0 until numSub).map { mm =>
+        struct(lit(mm).as("m"),
+          nearestExpr(spark, codebooks(mm))(sub(mm)).as("code"),
+          sub(mm).as("sv"))
+      }
+      val next = trainSet.select(explode(array(perM: _*)).as("e"))
+        .select(col("e.m").as("m"), col("e.code").as("code"),
+          posexplode(col("e.sv")).as(Seq("dim", "x")))
+        .groupBy("m", "code", "dim")
+        .agg(((sum(floor(col("x") * lit(quantScale))).cast("double") / lit(quantScale))
+          / count(lit(1)).cast("double")).as("mean"))
+        .groupBy("m", "code")
+        .agg(sort_array(collect_list(struct(col("dim"), col("mean")))).as("s"))
+        .select(col("m"), col("code"), expr("transform(s, p -> p.mean)").as("c"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+        .toMap
+      codebooks = Array.tabulate(numSub)(mm =>
+        codebooks(mm).zipWithIndex.map { case (old, j) =>
+          next.getOrElse((mm, j), old)
+        })
+    }
+    codebooks
+  }
+
+  /** The PQ encode column: array of per-subspace nearest-codebook indices. */
+  private def codesColumn(spark: org.apache.spark.sql.SparkSession,
+                          codebooks: Array[Array[Array[Double]]],
+                          ds: Int): Column =
+    array(codebooks.indices.map(mm =>
+      nearestExpr(spark, codebooks(mm))(slice(col("v"), mm * ds + 1, ds))): _*)
+
+  /** Per-query flattened ADC tables (qid, dt) — numSub × numCodes exact
+    * subspace distances computed driver-side in ascending-dim fold order;
+    * lookup is element_at(dt, m*numCodes + code + 1). Queries are an
+    * explicit tiny list by contract. */
+  private def adcTables(spark: org.apache.spark.sql.SparkSession,
+                        base: DataFrame, queryIds: Seq[Long],
+                        codebooks: Array[Array[Array[Double]]],
+                        ds: Int, numCodes: Int): DataFrame = {
+    val numSub = codebooks.length
+    val qRows = base.filter(col("id").isInCollection(queryIds))
+      .select(col("id"), col("v")).collect()
+    val dts: Seq[(Long, Seq[Double])] = qRows.toSeq.map { r =>
+      val qv = r.getSeq[Double](1).toArray
+      val dt = new Array[Double](numSub * numCodes)
+      var mm = 0
+      while (mm < numSub) {
+        var j = 0
+        while (j < codebooks(mm).length) {
+          val c = codebooks(mm)(j)
+          var d = 0.0; var i = 0
+          while (i < ds) { val x = qv(mm * ds + i) - c(i); d += x * x; i += 1 }
+          dt(mm * numCodes + j) = d
+          j += 1
+        }
+        mm += 1
+      }
+      (r.getLong(0), dt.toSeq)
+    }
+    import spark.implicits._
+    dts.toDF("qid", "dt")
+  }
+
+  /** adc = ascending-subspace left fold of table lookups — a composed `+`
+    * chain, NO higher-order function (ArrayAggregate lambdas are
+    * CodegenFallback; this stays inside whole-stage codegen). */
+  private def adcLookupSum(numSub: Int, numCodes: Int): Column =
+    (0 until numSub).map(mm =>
+      element_at(col("dt"),
+        lit(mm * numCodes) + element_at(col("codes"), lit(mm + 1)) + lit(1)))
+      .reduce(_ + _)
 
   /** ANN top-k via LSH buckets: candidates share at least one of the
     * `tables` bucket signatures (multi-probe by table, classic OR-construction

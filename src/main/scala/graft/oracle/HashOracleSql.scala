@@ -510,4 +510,101 @@ object HashOracleSql {
        |  FROM adc)
        |WHERE rank <= $k""".stripMargin
   }
+
+  /** q_ann_ivfpq: [[graft.ann.Similarity.ivfPqTopK]] unrolled — the q_ann_ivf
+    * coarse machinery (run as "subspace 0 over the full vector": same
+    * hash-ranked init LIMIT nLists, same iterations) composed with the
+    * q_ann_pq codebook/ADC machinery, candidates filtered to each query's
+    * nProbe nearest coarse lists before the ADC rank. Keep in lockstep with
+    * ivfPqTopK AND supp_ann_ivfpq in tools/check_oracle.py. */
+  def qAnnIvfPqSql(dim: Int, nLists: Int, nProbe: Int, coarseIters: Int,
+                   numSub: Int, numCodes: Int, pqIters: Int, seed: Long,
+                   k: Int, nQueries: Int): String = {
+    require(dim % numSub == 0)
+    val ds = dim / numSub
+    def seqSqDist(v: String, c: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(0, len($c)), i -> " +
+        s"(($v[i+1]) - ($c[i+1])) * (($v[i+1]) - ($c[i+1])))), (a, x) -> a + x)"
+    val hinit = nest(
+      nest("SELECT id, v, CAST(id AS HUGEINT) AS idh FROM v",
+        hashLongSteps("idh", "CAST(42 AS HUGEINT)", "p")),
+      hashLongSteps(s"CAST($seed AS HUGEINT)", "pf", "q"))
+    def assign(subTable: String, cb: String): String =
+      s"""
+         |  SELECT id, m, sv, cid FROM (
+         |    SELECT s.id, s.m, s.sv, c.cid,
+         |           row_number() OVER (PARTITION BY s.id, s.m ORDER BY ${seqSqDist("s.sv", "c.c")}, c.cid) AS rn
+         |    FROM $subTable s JOIN $cb c ON s.m = c.m) WHERE rn = 1""".stripMargin
+    def update(asg: String, prev: String): String =
+      s"""
+         |  SELECT p.m, p.cid, COALESCE(n.c, p.c) AS c FROM $prev p LEFT JOIN (
+         |    SELECT m, cid, list((CAST(s AS DOUBLE) / 4294967296.0) / CAST(cnt AS DOUBLE) ORDER BY dim) AS c
+         |    FROM (
+         |      SELECT a.m, a.cid, u.e.dim AS dim,
+         |             CAST(SUM(u.e.s) AS BIGINT) AS s, COUNT(*) AS cnt
+         |      FROM $asg a, UNNEST(list_transform(range(0, len(a.sv)), i ->
+         |             struct_pack(dim := i, s := CAST(floor(a.sv[i+1] * 4294967296.0) AS BIGINT)))) u(e)
+         |      GROUP BY 1, 2, 3)
+         |    GROUP BY m, cid) n ON p.m = n.m AND p.cid = n.cid""".stripMargin
+    val coarseCtes = (1 to coarseIters).flatMap { t =>
+      val prev = if (t == 1) "ccb0" else s"ccb${t - 1}"
+      Seq(s"casg$t AS (${assign("csub", prev)})",
+        s"ccb$t AS (${update(s"casg$t", prev)})")
+    }
+    val coarseLast = s"ccb$coarseIters"
+    val pqCtes = (1 to pqIters).flatMap { t =>
+      val prev = if (t == 1) "pcb0" else s"pcb${t - 1}"
+      Seq(s"pasg$t AS (${assign("psub", prev)})",
+        s"pcb$t AS (${update(s"pasg$t", prev)})")
+    }
+    val pqLast = s"pcb$pqIters"
+    s"""WITH v AS (
+       |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |hinit AS (SELECT id, v, ${signed("qf")} AS h FROM ($hinit)),
+       |cinit AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY h, id) AS INT) - 1 AS cid, v
+       |  FROM hinit ORDER BY h, id LIMIT $nLists),
+       |pinit AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY h, id) AS INT) - 1 AS cid, v
+       |  FROM hinit ORDER BY h, id LIMIT $numCodes),
+       |csub AS (SELECT id, 0 AS m, v AS sv FROM v),
+       |psub AS (
+       |  SELECT id, m, v[m*$ds+1 : (m+1)*$ds] AS sv
+       |  FROM v, range(0, $numSub) mm(m)),
+       |ccb0 AS (SELECT 0 AS m, cid, v AS c FROM cinit),
+       |pcb0 AS (
+       |  SELECT m, cid, v[m*$ds+1 : (m+1)*$ds] AS c
+       |  FROM pinit, range(0, $numSub) mm(m)),
+       |${coarseCtes.mkString(",\n")},
+       |${pqCtes.mkString(",\n")},
+       |clusters AS (${assign("csub", coarseLast)}),
+       |codes AS (${assign("psub", pqLast)}),
+       |q AS (SELECT id AS qid, v AS qv FROM v WHERE id < $nQueries),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid,
+       |           row_number() OVER (PARTITION BY q.qid ORDER BY ${seqSqDist("q.qv", "c.c")}, c.cid) AS rn
+       |    FROM q, $coarseLast c) WHERE rn <= $nProbe),
+       |qsub AS (
+       |  SELECT qid, m, qv[m*$ds+1 : (m+1)*$ds] AS qsv
+       |  FROM q, range(0, $numSub) mm(m)),
+       |dt AS (
+       |  SELECT qs.qid, qs.m, c.cid, ${seqSqDist("qs.qsv", "c.c")} AS d
+       |  FROM qsub qs JOIN $pqLast c ON qs.m = c.m),
+       |cand AS (
+       |  SELECT p.qid, cl.id FROM clusters cl JOIN probes p ON cl.cid = p.cid
+       |  WHERE cl.id <> p.qid),
+       |adc AS (
+       |  SELECT ca.qid, ca.id,
+       |         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d.d ORDER BY d.m)), (a, x) -> a + x), 4) AS adc
+       |  FROM cand ca JOIN codes cd ON cd.id = ca.id
+       |       JOIN dt d ON d.qid = ca.qid AND d.m = cd.m AND d.cid = cd.cid
+       |  GROUP BY ca.qid, ca.id)
+       |SELECT qid, CAST(rank AS INT) AS rank, id AS neighbor_id, adc FROM (
+       |  SELECT qid, id, adc,
+       |         row_number() OVER (PARTITION BY qid ORDER BY adc ASC, id ASC) AS rank
+       |  FROM adc)
+       |WHERE rank <= $k""".stripMargin
+  }
 }

@@ -67,6 +67,36 @@ class PqSpec extends AnyFunSuite {
     assert(out.count() === 0)
   }
 
+  test("ivfPqTopK with nProbe = nLists (all lists probed) is EXACTLY pqTopK " +
+       "(identical codebooks, pruning disabled)") {
+    val df = fixture()
+    val pq = Similarity.pqTopK(df, "vec_id", "embedding",
+      queryIds = (0L until 5L), k = 10, numSub = 4, numCodes = 16,
+      iters = 2, quantizerSampleMod = 1L)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val ivfpq = Similarity.ivfPqTopK(df, "vec_id", "embedding",
+      queryIds = (0L until 5L), k = 10, nLists = 8, nProbe = 8,
+      coarseIters = 2, numSub = 4, numCodes = 16, pqIters = 2,
+      quantizerSampleMod = 1L)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(ivfpq === pq)
+  }
+
+  test("ivfPqTopK: exact duplicate shares the query's cluster AND codes — " +
+       "always a candidate, always ADC-minimal") {
+    val out = Similarity.ivfPqTopK(fixture(), "vec_id", "embedding",
+      queryIds = (0L until 5L), k = 10, nLists = 8, nProbe = 2,
+      quantizerSampleMod = 1L)
+      .select("qid", "neighbor_id", "adc")
+      .as[(Long, Long, Double)].collect()
+    (0 until 5).foreach { i =>
+      val mine = out.filter(_._1 == i.toLong)
+      val dup = mine.find(_._2 == 500L + i)
+      assert(dup.isDefined, s"exact duplicate missed for q$i")
+      assert(dup.get._3 === mine.map(_._3).min, s"duplicate not ADC-minimal for q$i")
+    }
+  }
+
   test("plan: fused encode (no ScalaUDF), broadcast candidate join (no SortMergeJoin)") {
     // repartition blocks ConvertToLocalRelation, which would otherwise
     // evaluate the whole encode projection at optimization time on a

@@ -377,6 +377,88 @@ def supp_ann_pq(con, num_sub=4, num_codes=16, iters=2, seed=42, k=5,
     df = pd.DataFrame(rows, columns=["qid", "rank", "neighbor_id", "adc"])
     return df.astype({"qid": "int64", "rank": "int32", "neighbor_id": "int64"})
 
+def supp_ann_ivfpq(con, n_lists=8, n_probe=4, coarse_iters=2, num_sub=4,
+                   num_codes=16, pq_iters=2, seed=42, k=5,
+                   query_ids=range(10)):
+    """Exact port of graft.ann.Similarity.ivfPqTopK at SparkEntry's
+    q_ann_ivfpq parameters: the supp_ann_ivf coarse machinery (full-vector
+    k-means) composed with the supp_ann_pq codebook/ADC machinery,
+    candidates filtered to each query's n_probe nearest coarse lists. Keep
+    in lockstep with ivfPqTopK AND HashOracleSql.qAnnIvfPqSql."""
+    import math
+    emb = con.execute("SELECT vec_id, embedding FROM embeddings").df()
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding]
+            for r in emb.itertuples()}
+    dim = len(next(iter(vecs.values())))
+    assert dim % num_sub == 0
+    ds = dim // num_sub
+
+    def xxh_id(i):
+        return signed64(xxh64_long(seed, xxh64_long(i, 42)))
+
+    def nearest(sv, cents):
+        best, best_d = -1, float("inf")
+        for cid, c in enumerate(cents):
+            d = 0.0
+            for i in range(len(c)):
+                x = sv[i] - c[i]
+                d += x * x
+            if d < best_d:
+                best_d, best = d, cid
+        return best
+
+    ranked = sorted(vecs, key=lambda i: (xxh_id(i), i))
+    scale = 4294967296.0  # 2^32
+
+    def kmeans(cbs, iters, lo, width):
+        for _ in range(iters):
+            sums, cnts = {}, {}
+            for i, v in vecs.items():
+                sv = v[lo:lo + width]
+                c = nearest(sv, cbs)
+                cnts[c] = cnts.get(c, 0) + 1
+                s = sums.setdefault(c, [0] * width)
+                for d in range(width):
+                    s[d] += math.floor(sv[d] * scale)
+            cbs = [[(float(sums[j][d]) / scale) / float(cnts[j])
+                    for d in range(width)] if j in sums else old
+                   for j, old in enumerate(cbs)]
+        return cbs
+
+    coarse = kmeans([list(vecs[i]) for i in ranked[:n_lists]],
+                    coarse_iters, 0, dim)
+    cbs = [kmeans([vecs[i][m * ds:(m + 1) * ds] for i in ranked[:num_codes]],
+                  pq_iters, m * ds, ds) for m in range(num_sub)]
+    cluster = {i: nearest(v, coarse) for i, v in vecs.items()}
+    codes = {i: [nearest(v[m * ds:(m + 1) * ds], cbs[m])
+                 for m in range(num_sub)]
+             for i, v in vecs.items()}
+
+    rows = []
+    for qid in query_ids:
+        if qid not in vecs:
+            continue
+        qv = vecs[qid]
+        dists = [(sum_seq(range(len(c)),
+                          lambda i: (qv[i] - c[i]) * (qv[i] - c[i])), cid)
+                 for cid, c in enumerate(coarse)]
+        probes = {cid for _, cid in
+                  sorted(dists, key=lambda t: t[0])[:n_probe]}
+        dt = [[sum_seq(range(ds),
+                       lambda i: (qv[m * ds + i] - c[i]) * (qv[m * ds + i] - c[i]))
+               for c in cbs[m]] for m in range(num_sub)]
+        cand = []
+        for i, cd in codes.items():
+            if i == qid or cluster[i] not in probes:
+                continue
+            adc = sum_seq(range(num_sub), lambda m: dt[m][cd[m]])
+            cand.append((i, _round4(adc)))
+        cand.sort(key=lambda t: (t[1], t[0]))
+        for rank, (i, adc) in enumerate(cand[:k], start=1):
+            rows.append((qid, rank, i, adc))
+    df = pd.DataFrame(rows, columns=["qid", "rank", "neighbor_id", "adc"])
+    return df.astype({"qid": "int64", "rank": "int32", "neighbor_id": "int64"})
+
 def sum_seq(xs, f):
     """Strict left-to-right double fold — the JVM loop order."""
     s = 0.0
@@ -460,6 +542,7 @@ SUPPLEMENTARY = {
     "q_minhash_lsh": supp_minhash_lsh,
     "q_ann_ivf": supp_ann_ivf,
     "q_ann_pq": supp_ann_pq,
+    "q_ann_ivfpq": supp_ann_ivfpq,
 }
 
 # ------------------------------------------------------------------ main ---
