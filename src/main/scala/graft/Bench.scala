@@ -128,7 +128,8 @@ object Bench {
       ("curation",         SparkEntry.queries("q_curation"),         2),
       ("repetition",       SparkEntry.queries("q_repetition"),       2),
       ("ann_pq",           SparkEntry.queries("q_ann_pq"),           2),
-      ("ann_ivfpq",        SparkEntry.queries("q_ann_ivfpq"),        2)
+      ("ann_ivfpq",        SparkEntry.queries("q_ann_ivfpq"),        2),
+      ("boilerplate",      SparkEntry.queries("q_boilerplate"),      2)
     )
     // best-of-N minimum = the least-interfered estimate on a host with 2-3×
     // CPU-steal storms (see BASELINE.md methodology)

@@ -637,6 +637,24 @@ object SparkEntry {
         .select("doc_id", "n_lines", "n_kept", "text_dedup")
     },
 
+    // cross-document boilerplate-line removal: every doc gets a per-source
+    // header + footer (df = 100% of the source's docs → removed) and 30% get
+    // a promo line (df < 50% → kept), so both threshold branches fire; the
+    // body is the 7-token reflow (in-source exact-dup texts can push body
+    // lines over the threshold too — both engines compute that identically).
+    "q_boilerplate" -> { (s, dir) =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("body", TextAnalysis.reflowLines(col("text"), 7))
+        .withColumn("bt", concat(
+          lit("== "), col("source"), lit(" HEADER =="), lit("\n"), col("body"),
+          when(col("doc_id") % 10 < 3,
+            concat(lit("\npromo "), col("source"))).otherwise(lit("")),
+          lit("\n-- footer "), col("source"), lit(" --")))
+      TextAnalysis.boilerplateLines(d, "doc_id", "source", "bt",
+        minDf = 2L, fracNum = 1, fracDen = 2)
+        .select("doc_id", "source", "n_lines", "n_kept", "text_clean")
+    },
+
     // n-gram LM count table with min-count pruning (the canonical word-count
     // plan: explode + two-level hash agg).
     "q_ngram_counts" -> { (s, dir) =>
@@ -1696,6 +1714,40 @@ object SparkEntry {
         |  CAST(len(list_filter(l, (x, i) -> list_position(l, x) = i)) AS INT) AS n_kept,
         |  array_to_string(list_filter(l, (x, i) -> list_position(l, x) = i), chr(10)) AS text_dedup
         |FROM d""".stripMargin,
+
+    // boilerplate removal: identical augmentation, per-doc DISTINCT lines →
+    // (source, line) df counts, the all-integer df*2 >= docs*1 threshold,
+    // list_filter membership removal.
+    "q_boilerplate" ->
+      """WITH lined AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(list_transform(range(0, (len(t) + 6) // 7),
+        |      i -> array_to_string(t[i*7+1:i*7+7], ' ')), chr(10)) AS body
+        |  FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents)),
+        |aug AS (
+        |  SELECT doc_id, source,
+        |    '== ' || source || ' HEADER ==' || chr(10) || body ||
+        |    CASE WHEN doc_id % 10 < 3 THEN chr(10) || 'promo ' || source ELSE '' END ||
+        |    chr(10) || '-- footer ' || source || ' --' AS bt
+        |  FROM lined),
+        |l AS (SELECT doc_id, source, string_split(bt, chr(10)) AS ls FROM aug),
+        |ldf AS (
+        |  SELECT source, line, count(*) AS df FROM (
+        |    SELECT DISTINCT doc_id, source, line FROM (
+        |      SELECT doc_id, source, unnest(ls) AS line FROM l))
+        |  GROUP BY source, line),
+        |gd AS (SELECT source, count(*) AS docs FROM aug GROUP BY source),
+        |bl AS (
+        |  SELECT source, list(line ORDER BY line) AS blc FROM ldf JOIN gd USING (source)
+        |  WHERE df >= 2 AND df * 2 >= docs * 1 GROUP BY source),
+        |f AS (
+        |  SELECT l.doc_id, l.source, ls, coalesce(b.blc, []) AS blc
+        |  FROM l LEFT JOIN bl b USING (source))
+        |SELECT doc_id, source, CAST(len(ls) AS INT) AS n_lines,
+        |  CAST(len(list_filter(ls, x -> NOT list_contains(blc, x))) AS INT) AS n_kept,
+        |  -- duckdb array_to_string([]) is NULL; spark array_join([]) is ''
+        |  coalesce(array_to_string(list_filter(ls, x -> NOT list_contains(blc, x)), chr(10)), '') AS text_clean
+        |FROM f""".stripMargin,
 
     // stupid-backoff LM score: identical corpus/test split, identical count
     // tables, the identical per-occurrence micro-log quantization

@@ -281,6 +281,49 @@ object TextAnalysis {
       .withColumn("n_kept", size(dedup).cast("int"))
   }
 
+  /** CROSS-document boilerplate-line removal (the CCNet/C4-style group
+    * frequency filter — Wenzek et al. 2020 deduplicate repeated lines
+    * corpus-wide before LM training; site headers/footers/nav are the
+    * canonical case): a line is boilerplate WITHIN a group (e.g. a source
+    * domain) iff it appears in at least `minDf` of the group's documents AND
+    * in at least `fracNum/fracDen` of them — an ALL-INTEGER threshold
+    * (`df·fracDen ≥ docs·fracNum`), so both engines compare exactly. Every
+    * occurrence of a boilerplate line is removed from every doc in the
+    * group; line order is preserved; `n_lines`/`n_kept` report the cut.
+    * A doc counts once per distinct line (in-doc repeats don't inflate df).
+    *
+    * Scale shape: the line-df aggregate runs over per-doc DISTINCT lines
+    * (the only exchange, two-level hash agg on (group, line)); group doc
+    * counts are |groups| rows; the per-group boilerplate ARRAYS are tiny by
+    * construction (only high-df lines survive the threshold), so the
+    * removal is one broadcast equi-join on the group plus a map-only HOF
+    * filter — the lambda tests membership against the JOINED attribute, not
+    * a recomputed subtree (the documented O(n²) pitfall does not apply).
+    */
+  def boilerplateLines(df: DataFrame, idCol: String, groupCol: String,
+                       textCol: String, minDf: Long = 2L,
+                       fracNum: Int = 1, fracDen: Int = 2): DataFrame = {
+    require(fracNum >= 0 && fracDen > 0, "boilerplateLines: bad fraction")
+    val lineDf = df.select(col(groupCol).as("__g"),
+        explode(array_distinct(split(col(textCol), "\n"))).as("__line"))
+      .groupBy("__g", "__line").agg(count(lit(1)).as("__df"))
+    val groupDocs = df.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__docs"))
+    val boiler = lineDf.join(broadcast(groupDocs), Seq("__g"))
+      .filter(col("__df") >= minDf &&
+        col("__df") * lit(fracDen.toLong) >= col("__docs") * lit(fracNum.toLong))
+      .groupBy("__g").agg(sort_array(collect_list(col("__line"))).as("__bl"))
+    df.join(broadcast(boiler), col(groupCol) === col("__g"), "left")
+      .withColumn("__blc", coalesce(col("__bl"), typedlit(Seq.empty[String])))
+      .withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("__kept",
+        filter(col("__lines"), l => !array_contains(col("__blc"), l)))
+      .withColumn("n_lines", size(col("__lines")).cast("int"))
+      .withColumn("n_kept", size(col("__kept")).cast("int"))
+      .withColumn("text_clean", array_join(col("__kept"), "\n"))
+      .drop("__g", "__bl", "__blc", "__lines", "__kept")
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized lowercase text —
     * the exact-dedup key.
     */
