@@ -754,6 +754,15 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
     },
 
+    // BPE vocabulary TRAINING (the learning half — q_bpe_tokens applies a
+    // pinned table): greedy merge loop over the distributed word-frequency
+    // dict, all-integer, unrolled step-by-step in the DuckDB oracle.
+    "q_bpe_train" -> { (s, dir) =>
+      graft.text.Bpe.trainMerges(
+        s.read.parquet(s"$dir/documents.parquet"), "text",
+        nMerges = 24, minPairCount = 2L)
+    },
+
     // token counting: whitespace + BPE-ish regex.
     "q_token_count" -> { (s, dir) =>
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1503,6 +1512,12 @@ object SparkEntry {
          |       string_agg(d.toks_str, ' ' ORDER BY w.pos) AS bpe_text
          |FROM words w JOIN enc d USING (word)
          |GROUP BY w.doc_id""".stripMargin,
+
+    // BPE training: the greedy merge loop unrolled (24 step-CTE triples),
+    // generated by Bpe.trainMergesSql — lockstep with Bpe.trainMerges.
+    "q_bpe_train" ->
+      graft.text.Bpe.trainMergesSql("documents", "text", nMerges = 24,
+        minPairCount = 2L),
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -96,4 +96,63 @@ class BpeSpec extends AnyFunSuite {
         .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
     assert(run(1) === run(16))
   }
+
+  private def train(texts: Seq[String], nMerges: Int, minPairCount: Long = 2L) =
+    Bpe.trainMerges(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), "text", nMerges, minPairCount = minPairCount)
+      .as[(Int, String, String)].collect().sortBy(_._1).toVector
+
+  test("training: hand-computed greedy merges with early stop") {
+    // pairs: (a,b) x3, (c,d) x2 → merge ab then cd; afterwards every word
+    // is a single token → loop stops at 2 of the requested 5 merges
+    val out = train(Seq("ab ab cd", "ab cd"), nMerges = 5)
+    assert(out === Vector((0, "a", "b"), (1, "c", "d")))
+  }
+
+  test("training: count ties break by (left, right) ascending") {
+    // (b,a) and (d,c) both occur twice → lexicographically smaller left wins
+    val out = train(Seq("ba dc", "ba dc"), nMerges = 2)
+    assert(out === Vector((0, "b", "a"), (1, "d", "c")))
+  }
+
+  test("training: left == right pairs are skipped (fixture invariant holds " +
+       "by construction)") {
+    val out = train(Seq("aa aa aa bc", "bc aa"), nMerges = 3, minPairCount = 1L)
+    assert(out.forall { case (_, l, r) => l != r })
+    assert(out.exists { case (_, l, r) => l == "b" && r == "c" })
+    // every learned table satisfies the pinned-fixture creation-order rule
+    out.zipWithIndex.foreach { case ((_, l, r), i) =>
+      def formed(t: String): Boolean =
+        t.length == 1 || out.take(i).exists { case (_, a, b) => a + b == t }
+      assert(formed(l) && formed(r), s"merge $i ($l,$r) breaks creation order")
+    }
+  }
+
+  test("training: multi-level merges compose (learned token as a merge side) " +
+       "and applying them compresses the training words") {
+    // (t,h) and (h,e) both count 16 → tie breaks to (h,e); step 1 then
+    // merges (t,he) — a LEARNED token as the right-hand side
+    val texts = Seq.fill(4)("the the then there")
+    val out = train(texts, nMerges = 4)
+    assert(out.take(2) === Vector((0, "h", "e"), (1, "t", "he")))
+    // apply learned merges in rank order; training words must compress
+    val words = Seq("the", "then", "there")
+    words.foreach { w =>
+      var toks = w.map(_.toString).toArray
+      out.foreach { case (_, l, r) => toks = Bpe.mergeOnce(toks, l, r) }
+      assert(toks.length < w.length, s"$w did not compress: ${toks.toSeq}")
+    }
+  }
+
+  test("training: partition invariance (word counting is the only " +
+       "distributed stage)") {
+    val rng = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docs = (0L until 100L).map(i =>
+      (i, (0 until (1 + rng.nextInt(15))).map(_ => words(rng.nextInt(words.size))).mkString(" ")))
+    def run(parts: Int) =
+      Bpe.trainMerges(docs.toDF("doc_id", "text").repartition(parts), "text", 12)
+        .as[(Int, String, String)].collect().sortBy(_._1).toVector
+    assert(run(1) === run(16))
+  }
 }
