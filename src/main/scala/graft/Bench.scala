@@ -129,7 +129,9 @@ object Bench {
       ("repetition",       SparkEntry.queries("q_repetition"),       2),
       ("ann_pq",           SparkEntry.queries("q_ann_pq"),           2),
       ("ann_ivfpq",        SparkEntry.queries("q_ann_ivfpq"),        2),
-      ("boilerplate",      SparkEntry.queries("q_boilerplate"),      2)
+      ("boilerplate",      SparkEntry.queries("q_boilerplate"),      2),
+      ("semdedup",         SparkEntry.queries("q_semdedup"),         2),
+      ("bpe_train",        SparkEntry.queries("q_bpe_train"),        2)
     )
     // best-of-N minimum = the least-interfered estimate on a host with 2-3×
     // CPU-steal storms (see BASELINE.md methodology)

@@ -519,6 +519,19 @@ object SparkEntry {
         "vec_id", "embedding", tau = 0.35)
     },
 
+    // SemDeDup (Abbas et al. 2023): k-means-clustered semantic dedup —
+    // within-cluster-only pairwise cosine, keep the member farthest from
+    // the centroid. quantizerSampleMod = 1 pins full-corpus quantizer
+    // training (the q_ann_ivf arrangement; auto resolves to the same mod
+    // on this corpus — the pin makes the oracle semantics explicit).
+    // tau = 0.35 matches q_embed_dedup: this synthetic corpus' dups sit
+    // at cosine 0.35-0.5.
+    "q_semdedup" -> { (s, dir) =>
+      Dedup.semDedup(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", tau = 0.35, nLists = 8, iters = 2,
+        quantizerSampleMod = 1L)
+    },
+
     // embedding-cosine near-dup pairs at scale: hyperplane-LSH bucketed
     // equi-join + exact re-rank (the DEFAULT path). The hyperplanes are
     // DETERMINISTIC splitmix64 arithmetic, so the DuckDB oracle recomputes
@@ -2220,6 +2233,9 @@ object SparkEntry {
       n = 3, numHashes = 24, bands = 4, tau = 0.3, maxBucketSize = 500),
     "q_ann_ivf" -> graft.oracle.HashOracleSql.qAnnIvfSql(
       nLists = 8, nProbe = 4, iters = 2, seed = 42L, k = 5, nQueries = 10),
+    // shares q_ann_ivf's coarse-quantizer CTE chain (HashOracleSql.coarseCtes)
+    "q_semdedup" -> graft.oracle.HashOracleSql.qSemDedupSql(
+      nLists = 8, iters = 2, seed = 42L, tau = 0.35),
     // dim = 64 mirrors the embeddings fixture width at every SF (pqTopK
     // detects it; the oracle must pin it to unroll the subspace slices)
     "q_ann_pq" -> graft.oracle.HashOracleSql.qAnnPqSql(

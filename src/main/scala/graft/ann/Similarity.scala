@@ -465,8 +465,8 @@ object Similarity {
   /** Strict first-minimum nearest-centroid index — the fused
     * `graft_nearest_centroid` expression, or the bit-identical Bc-cached UDF
     * without the extension. */
-  private def nearestExpr(spark: org.apache.spark.sql.SparkSession,
-                          cents: Array[Array[Double]])(sv: Column): Column =
+  private[graft] def nearestExpr(spark: org.apache.spark.sql.SparkSession,
+                                 cents: Array[Array[Double]])(sv: Column): Column =
     if (graft.expr.VectorFunctions.available(spark))
       call_function("graft_nearest_centroid", sv,
         typedlit(cents.map(_.toSeq).toSeq))

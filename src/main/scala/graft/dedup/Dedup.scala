@@ -468,4 +468,117 @@ object Dedup {
       .filter(col("cosine") >= tau)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** SEMANTIC dedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication" — public): cluster the
+    * embedding space with a coarse k-means, then dedup PAIRWISE ONLY WITHIN
+    * each cluster — the clusters bound the quadratic work that makes global
+    * cosine dedup infeasible, and (the paper's observation) semantic dups
+    * land in the same cluster at far looser thresholds than LSH is selective
+    * for. Complements [[embeddingLshPairs]]: LSH targets near-dup cosine
+    * (≥0.9); SemDeDup works at semantic-similarity thresholds where
+    * hyperplane buckets have no recall.
+    *
+    * Pinned deterministic semantics (every tie the paper leaves open):
+    * the quantizer is EXACTLY [[graft.ann.Similarity.ivfTopK]]'s k-means
+    * ([[graft.ann.Similarity.trainCodebooks]] at numSub=1 — hash-ranked
+    * init, floor(x·2^32) order-independent means, first-minimum
+    * assignment), so the q_semdedup DuckDB oracle replays training through
+    * the same CTE chain as q_ann_ivf. Within a cluster, rows are ordered by
+    * (cosine-to-centroid ASC, id ASC) — the paper KEEPS the member farthest
+    * from the centroid, so rank 1 is the preferred keeper — and a row is a
+    * DUPLICATE iff ANY earlier-ranked row of its cluster is within `tau`
+    * cosine (the order-free superset of the paper's greedy sweep: dropped
+    * rows still shadow later rows, which only ever drops MORE chained
+    * near-dups, never fewer; deterministic and join-expressible, where true
+    * greedy is a sequential per-cluster scan).
+    *
+    * Scale shape: training is the bounded-sample k-means ([[graft.ann.Similarity.ivfTopK]]'s
+    * `quantizerSampleMod` contract: 0 = planner-stats auto bound); the
+    * corpus-wide passes are ONE broadcast-lookup assignment, one exchange on
+    * cluster (rank window), and one within-cluster equi-self-join — the only
+    * quadratic term is Σ n_c², which `nLists` controls (the paper runs 110k
+    * clusters at web scale) and `maxClusterSize` guards LOUDLY (raise_error
+    * inside the rank that feeds is_dup, the rangeJoinBinned pattern — any
+    * action computing output rows evaluates it; a bare count() prunes the
+    * dup join and skips it): a silently skipped hot cluster would silently
+    * under-dedup. Vectors must flow
+    * through the pair join (every within-cluster pair needs its exact
+    * cosine — no id-only prune exists at semantic thresholds).
+    *
+    * Output: one row per input — (id, cluster, cent_cos, is_dup).
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, tau: Double,
+               nLists: Int = 16, iters: Int = 3, seed: Long = 42L,
+               quantizerSampleMod: Long = 0L,
+               maxClusterSize: Long = 100000L): DataFrame = {
+    require(nLists >= 1, s"nLists must be >= 1, got $nLists")
+    require(maxClusterSize >= 1, s"maxClusterSize must be >= 1, got $maxClusterSize")
+    val spark = df.sparkSession
+    val v = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("norm", graft.expr.VectorFunctions.norm(col("v")))
+    val dimOpt = graft.ann.Similarity.detectDim(df, vecCol)
+    if (dimOpt.isEmpty)
+      return v.select(col("id"), lit(0).as("cluster"),
+        lit(0.0).as("cent_cos"), lit(false).as("is_dup")).limit(0)
+
+    // quantizer train set: the ivfTopK contract (0 = auto planner bound);
+    // cached for the training collects only, unpersisted before the
+    // corpus-wide plan is built
+    val effMod: Long =
+      if (quantizerSampleMod >= 1L) quantizerSampleMod
+      else graft.ann.Similarity.autoSampleMod(df)
+    val trainSet = (
+      if (effMod <= 1L) v
+      else v.filter(pmod(xxhash64(col("id"), lit(seed)), lit(effMod)) === 0)
+    ).select("id", "v").cache()
+    val cents: Array[Array[Double]] = graft.ann.Similarity.trainCodebooks(
+      spark, trainSet, numSub = 1, ds = dimOpt.get, numCodes = nLists,
+      iters = iters, seed = seed)(0)
+    trainSet.unpersist(false)
+
+    import spark.implicits._
+    val centsDf = cents.zipWithIndex.map { case (c, i) =>
+      (i, c.toSeq, math.sqrt(c.map(x => x * x).sum))
+    }.toSeq.toDF("cluster", "cvec", "cnorm")
+
+    val assigned = v
+      .withColumn("cluster", graft.ann.Similarity.nearestExpr(spark, cents)(col("v")))
+      .join(broadcast(centsDf), Seq("cluster"))
+      .withColumn("cent_cos", round(
+        graft.expr.VectorFunctions.dot(col("v"), col("cvec")) /
+          (col("norm") * col("cnorm")), 4))
+      .select("cluster", "id", "v", "norm", "cent_cos")
+
+    // rank + size over the SAME cluster exchange; the guard lives inside the
+    // rank value so column pruning can never drop it
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("cent_cos").asc, col("id").asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    val ranked = assigned
+      .withColumn("rn",
+        when(count(lit(1)).over(wAll) <= maxClusterSize,
+          row_number().over(wRank))
+        .otherwise(raise_error(concat(
+          lit("semDedup: cluster "), col("cluster").cast("string"),
+          lit(s" exceeds maxClusterSize=$maxClusterSize — raise nLists (more," +
+            " smaller clusters) or the cap"))).cast("int")))
+
+    val slim = ranked.select("cluster", "id", "rn", "v", "norm")
+    val dups = slim.as("a")
+      .join(slim.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.rn") < col("b.rn"))
+      .filter(round(
+        graft.expr.VectorFunctions.dot(col("a.v"), col("b.v")) /
+          (col("a.norm") * col("b.norm")), 4) >= tau)
+      .select(col("b.id").as("id")).distinct()
+      .withColumn("__dup", lit(true))
+    // the guard needs no keep-alive here: the self-join above evaluates rn
+    // for EVERY row of every cluster (its join condition), so an oversized
+    // cluster fails the task before any output row is produced
+    ranked.join(dups, Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("cent_cos"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
 }

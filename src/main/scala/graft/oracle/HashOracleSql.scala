@@ -368,18 +368,21 @@ object HashOracleSql {
        |WHERE hx.top53 < CAST(thr.thr AS HUGEINT)""".stripMargin
   }
 
-  /** q_ann_ivf: the whole deterministic IVF pipeline unrolled — hash-ranked
-    * init, `iters` k-means iterations with the floor(x*2^32) order-independent
-    * centroid mean, full-corpus assignment, nProbe nearest lists, exact
-    * cosine re-rank. Distances use a sequential list_reduce fold (the JVM's
-    * loop order); cosines use list_dot_product exactly like the green
-    * q_ann_brute oracle. */
-  def qAnnIvfSql(nLists: Int, nProbe: Int, iters: Int, seed: Long, k: Int,
-                 nQueries: Int): String = {
-    def seqSqDist(v: String, c: String): String =
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-        s"list_transform(range(0, len($c)), i -> " +
-        s"(($v[i+1]) - ($c[i+1])) * (($v[i+1]) - ($c[i+1])))), (a, x) -> a + x)"
+  /** Sequential squared-distance fold (the JVM's loop order). */
+  private def seqSqDist(v: String, c: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(0, len($c)), i -> " +
+      s"(($v[i+1]) - ($c[i+1])) * (($v[i+1]) - ($c[i+1])))), (a, x) -> a + x)"
+
+  /** The coarse-quantizer CTE chain SHARED by q_ann_ivf and q_semdedup —
+    * [[graft.ann.Similarity.ivfTopK]]'s pinned k-means unrolled over the
+    * embeddings table: `v` (doubles), `hinit` (xxhash64(id,42) seed-ranked),
+    * `cents0` (init rows), per-iteration asg/cents CTEs with the
+    * floor(x*2^32) order-independent mean, and `asgF` — the full-corpus
+    * first-minimum assignment against `cents$iters`. Ends WITHOUT a trailing
+    * comma; callers append their own CTEs and may reference `v`, `asgF`,
+    * and `cents$iters`. */
+  private def coarseCtes(nLists: Int, iters: Int, seed: Long): String = {
     val hinit = nest(
       nest("SELECT id, v, CAST(id AS HUGEINT) AS idh FROM v",
         hashLongSteps("idh", "CAST(42 AS HUGEINT)", "p")),
@@ -413,7 +416,19 @@ object HashOracleSql {
        |  SELECT CAST(row_number() OVER (ORDER BY h, id) AS INT) - 1 AS cid, v AS c
        |  FROM hinit ORDER BY h, id LIMIT $nLists),
        |${iterCtes.mkString(",\n")},
-       |asgF AS (${assign(last)}),
+       |asgF AS (${assign(last)})""".stripMargin
+  }
+
+  /** q_ann_ivf: the whole deterministic IVF pipeline unrolled — hash-ranked
+    * init, `iters` k-means iterations with the floor(x*2^32) order-independent
+    * centroid mean, full-corpus assignment, nProbe nearest lists, exact
+    * cosine re-rank. Distances use a sequential list_reduce fold (the JVM's
+    * loop order); cosines use list_dot_product exactly like the green
+    * q_ann_brute oracle. */
+  def qAnnIvfSql(nLists: Int, nProbe: Int, iters: Int, seed: Long, k: Int,
+                 nQueries: Int): String = {
+    val last = s"cents$iters"
+    s"""${coarseCtes(nLists, iters, seed)},
        |n AS (SELECT id, sqrt(list_dot_product(v, v)) AS norm FROM v),
        |q AS (SELECT a.id AS qid, a.v AS qv, n.norm AS qnorm
        |      FROM asgF a JOIN n USING (id) WHERE a.id < $nQueries),
@@ -432,6 +447,34 @@ object HashOracleSql {
        |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
        |  FROM cand)
        |WHERE rank <= $k""".stripMargin
+  }
+
+  /** q_semdedup: [[graft.dedup.Dedup.semDedup]] unrolled — the SHARED
+    * coarse-quantizer chain ([[coarseCtes]], identical to q_ann_ivf's), then
+    * per-row cosine-to-centroid (rounded 4 dp, like every cosine oracle),
+    * the (cent_cos ASC, id ASC) within-cluster rank, and the any-earlier
+    * pairwise verdict: a row is a dup iff some earlier-ranked row of its
+    * cluster has pair cosine >= tau. Keep in lockstep with semDedup — the
+    * maxClusterSize guard has no SQL twin (the oracle corpus never trips
+    * it; same arrangement as rangeJoinBinned's guard). */
+  def qSemDedupSql(nLists: Int, iters: Int, seed: Long, tau: Double): String = {
+    val last = s"cents$iters"
+    s"""${coarseCtes(nLists, iters, seed)},
+       |n AS (SELECT id, sqrt(list_dot_product(v, v)) AS norm FROM v),
+       |cent AS (SELECT cid, c, sqrt(list_dot_product(c, c)) AS cnorm FROM $last),
+       |r AS (
+       |  SELECT a.id, a.cid, a.v, n.norm,
+       |         round(list_dot_product(a.v, ct.c) / (n.norm * ct.cnorm), 4) AS cent_cos
+       |  FROM asgF a JOIN n USING (id) JOIN cent ct ON ct.cid = a.cid),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cid ORDER BY cent_cos ASC, id ASC) AS rn
+       |  FROM r),
+       |dup AS (
+       |  SELECT DISTINCT b.id FROM rk a JOIN rk b ON a.cid = b.cid AND a.rn < b.rn
+       |  WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= $tau)
+       |SELECT r.id, CAST(r.cid AS INT) AS cluster, r.cent_cos,
+       |       (dup.id IS NOT NULL) AS is_dup
+       |FROM r LEFT JOIN dup ON r.id = dup.id""".stripMargin
   }
 
   /** q_ann_pq: [[graft.ann.Similarity.pqTopK]] unrolled — the SAME hash-ranked
