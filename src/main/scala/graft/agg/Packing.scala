@@ -68,4 +68,49 @@ object Packing {
       }
     }.toDF(shardCol, idCol, tokensCol, "pack_idx")
   }
+
+  /** GPT-style concat-and-chunk: conceptually concatenate all documents into
+    * one token stream in id order and cut it into fixed-`chunkLen` training
+    * windows that CROSS document boundaries (the standard causal-LM data
+    * layout — packBudget is the never-split alternative). Emits one row per
+    * (document, chunk) incidence:
+    *
+    *   chunk_id     — 0-based window index in the global token stream
+    *   doc_offset   — first token of the doc that lands in this chunk
+    *   chunk_offset — position of that token within the chunk
+    *   len          — number of tokens contributed (> 0)
+    *
+    * so downstream assembly is a per-chunk sort by chunk_offset + slice —
+    * no global state. Docs with zero tokens drop out. Order is pinned to
+    * idCol ascending; compose with [[graft.agg.Preprocessing.seededShuffle]]
+    * ranks as the id to get a deterministic shuffled stream.
+    *
+    * Scale shape: the global token offsets come from
+    * [[graft.util.Rank.globalRunningSum]] — a distributed range sort plus
+    * one collected Long per partition — never a single-task
+    * `sum().over(Window.orderBy(...))`. The explode emits ceil(n/L)+1 rows
+    * per doc (bounded by doc length), and every offset column is exact
+    * BIGINT arithmetic (`div`, not double division — safe past 2^53 total
+    * tokens).
+    */
+  def concatChunks(df: DataFrame, idCol: String, tokensCol: String,
+                   chunkLen: Long): DataFrame = {
+    require(chunkLen > 0, "chunkLen must be positive")
+    val slim = df.select(col(idCol).cast("long").as("__id"),
+        col(tokensCol).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+    val (withOff, _) =
+      graft.util.Rank.globalRunningSum(slim, Seq(col("__id")), "__n", "__t0")
+    val startInDoc = greatest(col("chunk_id") * chunkLen - col("__t0"), lit(0L))
+    withOff
+      .withColumn("chunk_id", explode(sequence(
+        expr(s"__t0 div $chunkLen"), expr(s"(__t0 + __n - 1) div $chunkLen"))))
+      .select(
+        col("chunk_id"),
+        col("__id").as(idCol),
+        startInDoc.as("doc_offset"),
+        greatest(col("__t0") - col("chunk_id") * chunkLen, lit(0L)).as("chunk_offset"),
+        (least(col("__n"), (col("chunk_id") + 1) * chunkLen - col("__t0"))
+          - startInDoc).as("len"))
+  }
 }

@@ -3,6 +3,8 @@ package graft.text
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.util.Rank
+
 /** Stupid-backoff bigram language-model scoring (Brants et al. 2007, "Large
   * Language Models in Machine Translation" — the public web-scale LM score
   * CCNet-style quality filtering is built on): score each document by its
@@ -67,5 +69,45 @@ object LmScore {
       .withColumn("avg_logprob",
         round(col("__sum").cast("double") / lit(1e6) / col("n_bigrams"), 4))
       .drop("__sum")
+  }
+
+  /** CCNet-style per-language perplexity bucketing (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): score every document with [[stupidBackoff]], then split each
+    * language's documents into head / middle / tail TERCILES by exact rank
+    * (best avg_logprob first; ties broken by id ascending, so the buckets
+    * are deterministic across engines).
+    *
+    * Bucket rule over the 1-based within-language rank r of n docs:
+    * head iff 3r <= n, middle iff 3r <= 2n, else tail — the exact-integer
+    * form of "first third / second third / last third".
+    *
+    * Scale shape: the naive formulation is
+    * `row_number().over(Window.partitionBy(lang).orderBy(...))` — ONE TASK
+    * PER LANGUAGE, a scale-killer when one language dominates the crawl
+    * (English is ~45% of Common Crawl). Instead the rank is derived from
+    * [[Rank.globalRowNumber]] over (lang, -score, id) — a DISTRIBUTED range
+    * sort — minus a per-language base offset from a tiny (one row per
+    * language) broadcast aggregate: local_rank = global_rank - min(global) +
+    * 1. No task ever holds more than a range-partition slice of one
+    * language.
+    */
+  def pplBuckets(docs: DataFrame, corpus: DataFrame,
+                 idCol: String, textCol: String, langCol: String): DataFrame = {
+    val scored = stupidBackoff(docs, corpus, idCol, textCol)
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    val (ranked, _) = Rank.globalRowNumber(scored,
+      Seq(col(langCol), col("avg_logprob").desc, col(idCol)), "__gr")
+    val base = ranked.groupBy(col(langCol))
+      .agg(min(col("__gr")).as("__r0"), count(lit(1)).as("__n"))
+    ranked
+      .join(broadcast(base), Seq(langCol))
+      .withColumn("lang_rank", col("__gr") - col("__r0") + 1L)
+      .withColumn("bucket",
+        when(col("lang_rank") * 3 <= col("__n"), lit("head"))
+          .when(col("lang_rank") * 3 <= col("__n") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col(langCol), col("n_bigrams"), col("avg_logprob"),
+        col("lang_rank"), col("bucket"))
   }
 }

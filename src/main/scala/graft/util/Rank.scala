@@ -73,4 +73,45 @@ object Rank {
       (pinned, total)
     } else (out, total)
   }
+
+  /** Distributed EXCLUSIVE global prefix sum of `valueCol` (must be a
+    * non-null LongType) over `order` — the running-offset primitive behind
+    * token-stream chunking: `outCol` = sum of `valueCol` over all rows
+    * strictly before this one in the global order. Returns (frame, total).
+    *
+    * Same two-phase / shared-lineage construction as [[globalRowNumber]]
+    * (and the same determinism argument): a distributed range sort, one
+    * collected Long per partition (the partition sums), broadcast offsets,
+    * then a partition-local running accumulator. The scale-safe replacement
+    * for `sum().over(Window.orderBy(...))`, which coalesces the input into
+    * ONE task.
+    */
+  def globalRunningSum(df: DataFrame, order: Seq[Column], valueCol: String,
+                       outCol: String): (DataFrame, Long) = {
+    val spark   = df.sparkSession
+    val sorted  = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val vIdx    = sorted.schema.fieldIndex(valueCol)
+    require(sorted.schema(vIdx).dataType == LongType,
+      s"globalRunningSum: $valueCol must be LongType (cast at the call site)")
+    val sortedRdd = sorted.toDF().rdd
+    val sums = sortedRdd
+      .mapPartitionsWithIndex((i, it) =>
+        Iterator((i, it.foldLeft(0L)((a, r) => a + r.getLong(vIdx)))))
+      .collect().sortBy(_._1).map(_._2)
+    val total   = sums.sum
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val bc      = spark.sparkContext.broadcast(offsets)
+
+    val schema = StructType(
+      sorted.schema :+ StructField(outCol, LongType, nullable = false))
+    val rows = sortedRdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = bc.value(i)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ acc)
+        acc += r.getLong(vIdx)
+        out
+      }
+    }
+    (spark.createDataFrame(rows, schema), total)
+  }
 }

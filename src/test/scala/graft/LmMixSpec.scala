@@ -28,6 +28,40 @@ class LmMixSpec extends AnyFunSuite {
     assert(out.length === 2)
   }
 
+  test("pplBuckets: exact terciles per language, deterministic tie-break, no Window node") {
+    // 6 en docs + 3 fr docs with controlled scores: doc text "a b" (seen
+    // bigram, best) vs "b x" (backoff, worst) vs mixes in between
+    val corpus = Seq("a b a b a c", "b a").toDF("text")
+    val docs = Seq(
+      (1L, "a b a b", "en"),  // two strong bigrams
+      (2L, "a b", "en"),
+      (3L, "a b b x", "en"),
+      (4L, "a b b x", "en"),  // identical text -> tie broken by id
+      (5L, "b x", "en"),
+      (6L, "x y", "en"),
+      (10L, "a b", "fr"), (11L, "x a", "fr"), (12L, "x y", "fr")
+    ).toDF("id", "text", "lang")
+    val out = LmScore.pplBuckets(docs, corpus, "id", "text", "lang")
+    val got = out.select("id", "lang", "lang_rank", "bucket")
+      .as[(Long, String, Long, String)].collect().map(r => r._1 -> r).toMap
+    // en ranks: each lang's ranks are a 1..n permutation
+    assert(got.values.filter(_._2 == "en").map(_._3).toSet === (1L to 6L).toSet)
+    assert(got.values.filter(_._2 == "fr").map(_._3).toSet === (1L to 3L).toSet)
+    // terciles: 6 en docs -> 2 head, 2 middle, 2 tail; 3 fr -> 1 each
+    val enBuckets = got.values.filter(_._2 == "en").groupBy(_._4).view.mapValues(_.size).toMap
+    assert(enBuckets === Map("head" -> 2, "middle" -> 2, "tail" -> 2))
+    val frBuckets = got.values.filter(_._2 == "fr").groupBy(_._4).view.mapValues(_.size).toMap
+    assert(frBuckets === Map("head" -> 1, "middle" -> 1, "tail" -> 1))
+    // docs 3 and 4 have identical bigram multisets -> identical scores;
+    // the id tie-break must put 3 before 4
+    assert(got(3L)._3 + 1 === got(4L)._3)
+    // fr ordering: seen bigram > backoff-with-seen-unigram > backoff-unseen
+    assert(got(10L)._4 === "head" && got(11L)._4 === "middle" && got(12L)._4 === "tail")
+    // scale shape: the rank must NOT come from a window operator
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "pplBuckets must use the distributed rank, not a per-language window")
+  }
+
   test("mixtureSample: cap-at-1 keeps all, absent domain drops, hash gate exact") {
     val df = (1L to 300L).map { i =>
       val d = if (i <= 100) "A" else if (i <= 200) "B" else "C"

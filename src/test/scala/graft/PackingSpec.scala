@@ -74,4 +74,53 @@ class PackingSpec extends AnyFunSuite {
       (s"sh${i % 9}", i.toLong, rng.nextInt(300).toLong))
     assert(pack(rows, 512, parts = 1) === pack(rows, 512, parts = 16))
   }
+
+  test("globalRunningSum: exclusive prefix matches driver fold; LongType enforced") {
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(7)
+    val rows = (1L to 1000L).map(i => (i, rng.nextInt(50).toLong))
+    val df = rows.toDF("id", "v").repartition(17, col("id"))
+    val (out, total) = graft.util.Rank.globalRunningSum(df, Seq(col("id")), "v", "t0")
+    assert(total === rows.map(_._2).sum)
+    val got = out.select("id", "t0").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    rows.sortBy(_._1).foreach { case (id, v) => assert(got(id) === acc); acc += v }
+    val bad = rows.toDF("id", "v").withColumn("v", col("v").cast("int"))
+    assertThrows[IllegalArgumentException] {
+      graft.util.Rank.globalRunningSum(bad, Seq(col("id")), "v", "t0")
+    }
+  }
+
+  test("concatChunks: exact tiling, boundary-crossing docs, zero-token dropout") {
+    // stream: 10 + 100 + 54 + 0 + 36 tokens, chunkLen 64
+    val docs = Seq((1L, 10L), (2L, 100L), (3L, 54L), (4L, 0L), (5L, 36L))
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.concatChunks(docs, "doc_id", "n_tokens", chunkLen = 64L)
+      .as[(Long, Long, Long, Long, Long)].collect()  // chunk_id, doc_id, doc_off, chunk_off, len
+      .sortBy(r => (r._1, r._4))
+    assert(!out.exists(_._2 == 4L)) // zero-token doc dropped
+    // every chunk except the last is exactly full; chunk positions tile [0, 64)
+    val byChunk = out.groupBy(_._1)
+    val lastChunk = byChunk.keys.max
+    byChunk.foreach { case (cid, rows) =>
+      val lens = rows.sortBy(_._4)
+      // contributions tile contiguously from offset 0
+      var pos = 0L
+      lens.foreach { r => assert(r._4 === pos, s"chunk $cid gap at $r"); pos += r._5 }
+      if (cid != lastChunk) assert(pos === 64L) else assert(pos === (10L + 100 + 54 + 36) % 64)
+    }
+    // per-doc: contributions reconstruct the doc contiguously
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      var pos = 0L
+      sorted.foreach { r => assert(r._3 === pos); pos += r._5 }
+      assert(pos === Map(1L -> 10L, 2L -> 100L, 3L -> 54L, 5L -> 36L)(sorted.head._2))
+    }
+    // doc 2 (100 tokens starting at offset 10) must span chunks 0..1
+    assert(out.filter(_._2 == 2L).map(_._1).toSeq === Seq(0L, 1L))
+    // partition invariance
+    val out2 = Packing.concatChunks(docs.repartition(7), "doc_id", "n_tokens", 64L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out2 === out.toSet)
+  }
 }
