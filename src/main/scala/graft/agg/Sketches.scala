@@ -145,4 +145,104 @@ object Sketches {
   def kmvDistinctBy(df: DataFrame, groupCols: Seq[String], c: String, k: Int): DataFrame =
     kmvSketchBy(df, groupCols, c, k)
       .select(groupCols.map(col) ++ estimateCols(col("kmv_sketch"), k): _*)
+
+  // ---------------------------------------------------------------- CMS ---
+
+  /** Row-r bucket of a base hash: `xxhash64(value, lit(r)) & (w-1)` — the
+    * seed-chained row hash the fused aggregate computes internally (see
+    * [[graft.expr.CmsSketch]]; `h` must be `xxhash64(value)`).
+    */
+  private def cmsBucket(value: Column, r: Int, w: Int): Column =
+    xxhash64(value, lit(r.toLong)).bitwiseAND(lit((w - 1).toLong))
+
+  /** Per-group Count-Min sketch STATE: one row per group with `cms_sketch`
+    * (`array<long>`, the dense row-major d×w counter grid — the mergeable
+    * representation; element-wise add combines shard/day partials and the
+    * merge law is exact because cells are sums).
+    *
+    * Requires the [[graft.expr.GraftExtensions]] aggregate — there is no
+    * bounded composed fallback (a `collect_list`-style fallback would buffer
+    * the whole group, defeating the sketch), so this FAILS LOUDLY without
+    * the extension. [[cmsCellsComposed]] is the semantics-identical sparse
+    * twin for parity tests and extension-less sessions.
+    *
+    * Scale shape: ONE hash-partial aggregation on the group keys; each map
+    * task carries d·w longs per group, so the shuffle is d·w·groups longs
+    * regardless of occurrence count — the bounded replacement for a
+    * per-group exact count table (O(distinct keys) memory).
+    */
+  def cmsSketchBy(df: DataFrame, groupCols: Seq[String], c: String,
+                  d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 2 && (w & (w - 1)) == 0,
+      "CMS needs d >= 1 and w a power of two >= 2")
+    require(groupCols.nonEmpty, "group the corpus-global sketch by a constant")
+    require(graft.expr.VectorFunctions.available(df.sparkSession),
+      "cmsSketchBy needs the graft_cms aggregate (install GraftExtensions); " +
+        "use cmsCellsComposed for an extension-less sparse equivalent")
+    df.filter(col(c).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_cms", xxhash64(col(c)), lit(d), lit(w))
+        .as("cms_sketch"))
+  }
+
+  /** Sparse (group, r, j, cnt) cells from a dense sketch — the exchange
+    * format the q_cms_cells oracle compares (cnt > 0 cells only).
+    */
+  def cmsCells(sketch: DataFrame, groupCols: Seq[String], d: Int, w: Int): DataFrame =
+    sketch
+      .select(groupCols.map(col) :+
+        posexplode(col("cms_sketch")).as(Seq("__pos", "cnt")): _*)
+      .filter(col("cnt") > 0)
+      .withColumn("r", (col("__pos") / w).cast("int"))
+      .withColumn("j", pmod(col("__pos"), lit(w)).cast("int"))
+      .select(groupCols.map(col) ++ Seq(col("r"), col("j"), col("cnt")): _*)
+
+  /** Composed sparse twin of [[cmsSketchBy]]+[[cmsCells]]: explode the d row
+    * hashes per occurrence and count — bit-identical cells, but the
+    * aggregation state is O(distinct non-empty cells) per group and the
+    * exploded stream is d× the input. Parity is spec-pinned (CmsSpec).
+    */
+  def cmsCellsComposed(df: DataFrame, groupCols: Seq[String], c: String,
+                       d: Int, w: Int): DataFrame =
+    df.filter(col(c).isNotNull)
+      .select(groupCols.map(col) :+
+        posexplode(array((0 until d).map(r => cmsBucket(col(c), r, w)): _*))
+          .as(Seq("r", "__j")): _*)
+      .groupBy(groupCols.map(col) ++ Seq(col("r").cast("int").as("r"),
+        col("__j").cast("int").as("j")): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge per-shard/per-day CMS sketch rows into one grid per group:
+    * element-wise sum, which is EXACT (cells are sums) — the operational
+    * point of the sketch: combine bounded daily states instead of
+    * re-scanning the stream. Grid length d·w is a plan constant, so the
+    * per-group collect_list is bounded by construction.
+    */
+  def cmsMergeSketches(sketches: DataFrame, groupCols: Seq[String],
+                       d: Int, w: Int): DataFrame =
+    sketches
+      .select(groupCols.map(col) :+
+        posexplode(col("cms_sketch")).as(Seq("__pos", "__c")): _*)
+      .groupBy(groupCols.map(col) :+ col("__pos"): _*)
+      .agg(sum("__c").as("__s"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__s")))),
+        x => x.getField("__s")).as("cms_sketch"))
+
+  /** Point-estimate occurrences of `probe` values against per-group dense
+    * sketches: est = min over rows r of cell (r, h_r(probe)) — the classic
+    * CMS upper bound (never undercounts). One broadcast of the tiny probe
+    * table; the lookup is a pure projection over the sketch rows.
+    */
+  def cmsEstimate(sketch: DataFrame, groupCols: Seq[String],
+                  probes: DataFrame, probeCol: String,
+                  d: Int, w: Int): DataFrame = {
+    val cells = (0 until d).map(r =>
+      element_at(col("cms_sketch"),
+        (lit(r.toLong * w) + cmsBucket(col(probeCol), r, w) + 1L).cast("int")))
+    sketch.crossJoin(broadcast(probes.select(col(probeCol))))
+      .withColumn("est", least(cells: _*))
+      .select(groupCols.map(col) ++ Seq(col(probeCol), col("est")): _*)
+  }
 }

@@ -602,6 +602,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KmvBottomK].getName, "graft_kmv"),
       (children: Seq[Expression]) => KmvBottomK(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CmsSketch].getName, "graft_cms"),
+      (children: Seq[Expression]) => CmsSketch(children(0), children(1), children(2))))
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
       // builders run at analysis time on the driver: resolve the id literal
