@@ -131,7 +131,12 @@ object Bench {
       ("ann_ivfpq",        SparkEntry.queries("q_ann_ivfpq"),        2),
       ("boilerplate",      SparkEntry.queries("q_boilerplate"),      2),
       ("semdedup",         SparkEntry.queries("q_semdedup"),         2),
-      ("bpe_train",        SparkEntry.queries("q_bpe_train"),        2)
+      ("bpe_train",        SparkEntry.queries("q_bpe_train"),        2),
+      ("quality_classifier", SparkEntry.queries("q_quality_classifier"), 2),
+      ("ppl_buckets",      SparkEntry.queries("q_ppl_buckets"),      2),
+      ("dsir_select",      SparkEntry.queries("q_dsir_select"),      2),
+      ("concat_chunks",    SparkEntry.queries("q_concat_chunks"),    2),
+      ("cms_cells",        SparkEntry.queries("q_cms_cells"),        2)
     )
     // best-of-N minimum = the least-interfered estimate on a host with 2-3×
     // CPU-steal storms (see BASELINE.md methodology)

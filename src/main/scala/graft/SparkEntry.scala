@@ -449,6 +449,45 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), Seq("source"), "text", k = 64)
     },
 
+    // Count-Min sketch grid (Cormode-Muthukrishnan 2005): per-source token
+    // occurrence counts via the graft_cms mergeable aggregate, dumped as
+    // sparse (source, r, j, cnt) cells. Cells are exact SUMS, so the oracle
+    // (HashOracleSql.qCmsCellsSql — the same XXH64 seed-chain row hashes in
+    // DuckDB SQL) recomputes them exactly. d/w mirrored at the oracle call.
+    "q_cms_cells" -> { (s, dir) =>
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      val sk = graft.agg.Sketches.cmsSketchBy(toks, Seq("source"), "tok",
+        d = 4, w = 64)
+      graft.agg.Sketches.cmsCells(sk, Seq("source"), d = 4, w = 64)
+    },
+
+    // CMS point estimates for a pinned probe list (incl. one word absent
+    // from the corpus) against each source's grid, with the exact count
+    // alongside — the est >= true_cnt upper bound is visible in the data.
+    // Probes + d/w mirrored at the HashOracleSql.qCmsEstimateSql call.
+    "q_cms_estimate" -> { (s, dir) =>
+      import s.implicits._
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      val sk = graft.agg.Sketches.cmsSketchBy(toks, Seq("source"), "tok",
+        d = 4, w = 64)
+      val probes = Seq("scan", "merge", "vector", "zeppelin").toDF("word")
+      val est = graft.agg.Sketches.cmsEstimate(sk, Seq("source"), probes,
+        "word", d = 4, w = 64)
+      val exact = toks.groupBy(col("source").as("__g"), col("tok"))
+        .agg(count(lit(1)).as("__c"))
+      est.join(exact,
+          est("source") === exact("__g") && est("word") === exact("tok"),
+          "left")
+        .select(est("source"), est("word"), est("est"),
+          coalesce(col("__c"), lit(0L)).as("true_cnt"))
+    },
+
     // MinHash+LSH near-dup pairs (approximate; ScalaTest checks recall vs
     // the exact pairs; exact oracle = HashOracleSql.qMinhashLshSql, which
     // re-derives XXH64 signatures + band buckets inside DuckDB SQL).
@@ -731,6 +770,19 @@ object SparkEntry {
         "n_bpe_tokens", budget = 700L)
     },
 
+    // GPT-style concat-and-chunk (boundary-crossing fixed-length training
+    // windows over the id-ordered token stream): global token offsets via
+    // the distributed prefix sum (Rank.globalRunningSum), never a
+    // single-task global-order window.
+    "q_concat_chunks" -> { (s, dir) =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.agg.Packing.concatChunks(
+        d.select(col("doc_id"),
+          size(filter(TextAnalysis.tokens(col("text")), w => w =!= lit("")))
+            .cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", chunkLen = 64L)
+    },
+
     // stupid-backoff bigram LM scoring (Brants et al. 2007): test docs
     // (doc_id % 3 == 0) scored against the rest as corpus — the same split
     // as q_ngram_overlap, so both seen and backoff branches are exercised.
@@ -742,6 +794,17 @@ object SparkEntry {
       graft.text.LmScore.stupidBackoff(
         d.filter(col("doc_id") % 3 === 0), d.filter(col("doc_id") % 3 =!= 0),
         "doc_id", "text")
+    },
+
+    // CCNet-style per-language perplexity terciles: stupid-backoff scores,
+    // then head/middle/tail by exact within-language rank — derived from the
+    // DISTRIBUTED global rank minus a broadcast per-language offset, never a
+    // one-task-per-language window.
+    "q_ppl_buckets" -> { (s, dir) =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.text.LmScore.pplBuckets(
+        d.filter(col("doc_id") % 3 === 0), d.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", "lang")
     },
 
     // deterministic domain-mixture sampling (Pile/LLaMA-style corpus
@@ -757,6 +820,26 @@ object SparkEntry {
             "src3" -> 5.0),
           budget = 4000L)
         .select("doc_id", "source", "n_chars")
+    },
+
+    // DSIR-style targeted data selection: hashed-unigram importance weights
+    // (target = src0 documents, pool = the rest), exact top-k by weight.
+    // Both models are <=4096-row broadcasts; scoring is map-only. Parameters
+    // mirrored at the HashOracleSql.qDsirSelectSql call site.
+    "q_dsir_select" -> { (s, dir) =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.text.Dsir.select(
+        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
+        "doc_id", "text", k = 100L)
+    },
+
+    // hashed linear quality classifier (fastText-style apply): map-only
+    // unigram+bigram feature hashing into 4096 buckets, pinned integer
+    // weight formula, one per-doc partial-aggregated BIGINT sum. Parameters
+    // mirrored at the HashOracleSql.qQualityClassifierSql call site.
+    "q_quality_classifier" -> { (s, dir) =>
+      graft.text.Classifier.hashedLinearScore(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
     },
 
     // REAL byte-pair encoding against the pinned creation-ordered merges
@@ -1823,6 +1906,63 @@ object SparkEntry {
         |  round(CAST(sum(s) AS BIGINT) / 1e6 / count(*), 4) AS avg_logprob
         |FROM sc GROUP BY doc_id""".stripMargin,
 
+    // q_ppl_buckets: the q_lm_score scoring chain VERBATIM (toks/uni/tot/
+    // bi/occ/sp/sc — changing q_lm_score requires moving this in lockstep),
+    // then language join + exact tercile rank. The window here is the
+    // ORACLE's prerogative; the Scala side derives the same rank from the
+    // distributed global rank minus per-language broadcast offsets.
+    "q_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(t) AS w FROM toks WHERE doc_id % 3 <> 0)
+        |  WHERE w <> '' GROUP BY w),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM uni),
+        |bi AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(list_transform(range(0, greatest(len(t) - 1, 0)),
+        |      i -> array_to_string(t[i+1:i+2], ' '))) AS g
+        |    FROM toks WHERE doc_id % 3 <> 0)
+        |  GROUP BY g),
+        |occ AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(t) - 1, 0)),
+        |      i -> array_to_string(t[i+1:i+2], ' '))) AS g
+        |  FROM toks WHERE doc_id % 3 = 0),
+        |sp AS (
+        |  SELECT doc_id, g,
+        |    string_split(g, ' ')[1] AS w1, string_split(g, ' ')[-1] AS w2
+        |  FROM occ),
+        |sc AS (
+        |  SELECT sp.doc_id,
+        |    CAST(round(log10(
+        |      CASE WHEN b.cnt IS NOT NULL
+        |           THEN CAST(b.cnt AS DOUBLE) / CAST(u1.cnt AS DOUBLE)
+        |           ELSE CAST(0.4 AS DOUBLE) *
+        |                (CAST(coalesce(u2.cnt, 1) AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |      END) * 1e6) AS BIGINT) AS s
+        |  FROM sp
+        |  LEFT JOIN bi b ON sp.g = b.g
+        |  LEFT JOIN uni u1 ON sp.w1 = u1.w
+        |  LEFT JOIN uni u2 ON sp.w2 = u2.w
+        |  CROSS JOIN tot t),
+        |lm AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    round(CAST(sum(s) AS BIGINT) / 1e6 / count(*), 4) AS avg_logprob
+        |  FROM sc GROUP BY doc_id),
+        |lg AS (
+        |  SELECT lm.doc_id, d.lang, lm.n_bigrams, lm.avg_logprob,
+        |    CAST(row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY lm.avg_logprob DESC, lm.doc_id) AS BIGINT) AS lang_rank,
+        |    count(*) OVER (PARTITION BY d.lang) AS n
+        |  FROM lm JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, n_bigrams, avg_logprob, lang_rank,
+        |  CASE WHEN lang_rank * 3 <= n THEN 'head'
+        |       WHEN lang_rank * 3 <= 2 * n THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM lg""".stripMargin,
+
     "q_ngram_counts" ->
       """WITH toks AS (
         |  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
@@ -1995,6 +2135,29 @@ object SparkEntry {
          |                ELSE w.pack_idx END
          |    FROM pk w JOIN seq s ON s.source = w.source AND s.rn = w.rn + 1)
          |  SELECT source, doc_id, n_bpe_tokens, CAST(pack_idx AS INT) AS pack_idx FROM pk)""".stripMargin,
+
+    // q_concat_chunks: the window cumsum is the ORACLE's prerogative — the
+    // Scala side derives identical offsets from the distributed prefix sum.
+    // Token count = nonempty whitespace tokens (the repo convention).
+    "q_concat_chunks" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         w -> w <> '')) AS BIGINT) AS n
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n,
+        |    CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS t0
+        |  FROM n WHERE n > 0),
+        |c AS (
+        |  SELECT doc_id, n, t0,
+        |    unnest(generate_series(t0 // 64, (t0 + n - 1) // 64)) AS chunk_id
+        |  FROM p)
+        |SELECT chunk_id, doc_id,
+        |  greatest(chunk_id * 64 - t0, 0) AS doc_offset,
+        |  greatest(t0 - chunk_id * 64, 0) AS chunk_offset,
+        |  least(n, (chunk_id + 1) * 64 - t0) - greatest(chunk_id * 64 - t0, 0) AS len
+        |FROM c""".stripMargin,
 
     // mirror of ImageHeaderDecoder.syntheticHeader — the round-trip oracle:
     // Spark constructs real PNG/JPEG bytes from doc_id and parses them back;
@@ -2222,10 +2385,25 @@ object SparkEntry {
       Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 5.0),
       budget = 4000L),
 
+    "q_dsir_select" -> graft.oracle.HashOracleSql.qDsirSelectSql(
+      "documents", "doc_id", "text", targetPred = "source = 'src0'",
+      numBuckets = graft.text.Classifier.numBuckets, k = 100L),
+
+    "q_quality_classifier" -> graft.oracle.HashOracleSql.qQualityClassifierSql(
+      "documents", "doc_id", "text",
+      numBuckets = graft.text.Classifier.numBuckets,
+      weightMul = graft.text.Classifier.weightMul,
+      weightMod = graft.text.Classifier.weightMod),
+
     "q_kmv_distinct" -> graft.oracle.HashOracleSql.qKmvDistinctSql(
       "documents", "text", k = 64),
     "q_kmv_grouped" -> graft.oracle.HashOracleSql.qKmvGroupedSql(
       "documents", "source", "text", k = 64),
+    "q_cms_cells" -> graft.oracle.HashOracleSql.qCmsCellsSql(
+      "documents", "source", "text", d = 4, w = 64),
+    "q_cms_estimate" -> graft.oracle.HashOracleSql.qCmsEstimateSql(
+      "documents", "source", "text",
+      probes = Seq("scan", "merge", "vector", "zeppelin"), d = 4, w = 64),
 
     "q_simhash" -> graft.oracle.HashOracleSql.qSimhashSql,
     "q_simhash_pairs" -> graft.oracle.HashOracleSql.qSimhashPairsSql(maxHamming = 7),

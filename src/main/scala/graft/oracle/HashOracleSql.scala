@@ -368,6 +368,159 @@ object HashOracleSql {
        |WHERE hx.top53 < CAST(thr.thr AS HUGEINT)""".stripMargin
   }
 
+  /** q_quality_classifier: the hashed linear classifier
+    * ([[graft.text.Classifier.hashedLinearScore]]) re-derived. Unigram and
+    * bigram features are generated with the q_lm_score tokenization CTEs,
+    * each DISTINCT gram is hashed ONCE through the XXH64 chain, bucketed by
+    * its low bits and weighted with the pinned integer formula
+    * `((bucket * mul) % mod) - 1000` — exact BIGINT arithmetic on both
+    * engines (bucket < 4096 keeps the product far below 2^63). Per-doc score
+    * is an order-independent BIGINT sum over occurrences.
+    */
+  def qQualityClassifierSql(table: String, idCol: String, textCol: String,
+                            numBuckets: Int, weightMul: Long,
+                            weightMod: Long): String = {
+    s"""WITH toks AS (
+       |  SELECT $idCol AS id, regexp_split_to_array(trim($textCol), '\\s+') AS t
+       |  FROM $table),
+       |grams AS (
+       |  SELECT id, w AS g FROM (SELECT id, unnest(t) AS w FROM toks) WHERE w <> ''
+       |  UNION ALL
+       |  SELECT id, unnest(list_transform(range(0, greatest(len(t) - 1, 0)),
+       |    i -> array_to_string(t[i+1:i+2], ' '))) AS g
+       |  FROM toks),
+       |dg AS (SELECT DISTINCT g AS s FROM grams),
+       |xh AS (${xxh64StrSql("SELECT s FROM dg")}),
+       |wt AS (SELECT s,
+       |         CAST(((((base & ${numBuckets - 1}) * $weightMul) % $weightMod)
+       |               - 1000) AS BIGINT) AS w
+       |       FROM xh),
+       |sc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_feats,
+       |              CAST(sum(w) AS BIGINT) AS score_micro
+       |       FROM grams JOIN wt ON grams.g = wt.s GROUP BY id)
+       |SELECT id AS $idCol, n_feats, score_micro,
+       |       CAST(CASE WHEN score_micro > 0 THEN 1 ELSE 0 END AS INT) AS label
+       |FROM sc""".stripMargin
+  }
+
+  /** Shared CTE chain for the CMS oracles: whitespace-token occurrences of
+    * `textCol` per `groupCol` (s = token), every DISTINCT string in
+    * `extraVals` ∪ tokens hashed ONCE through the XXH64 chain, then the d
+    * per-row buckets via the hashLong seed-chain — EXACTLY Spark's
+    * `xxhash64(value, lit(r))` (string hashed seed 42, then the row index
+    * hashed with the running hash as seed), masked to the low log2(w) bits.
+    * Emits CTEs: occ(g, tok), rb(s, r, j).
+    */
+  private def cmsCtes(table: String, groupCol: String, textCol: String,
+                      d: Int, w: Int, extraVals: Seq[String]): String = {
+    val extra = if (extraVals.isEmpty) ""
+      else extraVals.map(v => s"('$v')").mkString(
+        "  UNION SELECT s FROM (VALUES ", ", ", ") ev(s)\n")
+    val hashed = nest(
+      "SELECT s, r, base FROM (SELECT s, base, unnest(range(0, " +
+        s"$d)) AS r FROM xh) rbase",
+      hashLongSteps("CAST(r AS HUGEINT)", "base", "h"))
+    s"""toks AS (
+       |  SELECT $groupCol AS g,
+       |         unnest(regexp_split_to_array(trim($textCol), '\\s+')) AS tok
+       |  FROM $table),
+       |occ AS (SELECT g, tok FROM toks WHERE tok <> ''),
+       |dt AS (SELECT DISTINCT tok AS s FROM occ
+       |$extra),
+       |xh AS (${xxh64StrSql("SELECT s FROM dt")}),
+       |rb AS (SELECT s, CAST(r AS INT) AS r,
+       |              CAST((hf & ${w - 1}) AS INT) AS j
+       |       FROM ($hashed))""".stripMargin
+  }
+
+  /** q_cms_cells: the Count-Min grid ([[graft.agg.Sketches.cmsSketchBy]] →
+    * [[graft.agg.Sketches.cmsCells]]) re-derived — every non-empty cell's
+    * exact sum.
+    */
+  def qCmsCellsSql(table: String, groupCol: String, textCol: String,
+                   d: Int, w: Int): String =
+    s"""WITH ${cmsCtes(table, groupCol, textCol, d, w, Nil)}
+       |SELECT o.g AS $groupCol, rb.r, rb.j, CAST(count(*) AS BIGINT) AS cnt
+       |FROM occ o JOIN rb ON o.tok = rb.s
+       |GROUP BY o.g, rb.r, rb.j""".stripMargin
+
+  /** q_cms_estimate: CMS point estimates for a pinned probe list against
+    * each group's grid, plus the exact count (the estimate never
+    * undercounts — the classic CMS bound, visible in the data).
+    */
+  def qCmsEstimateSql(table: String, groupCol: String, textCol: String,
+                      probes: Seq[String], d: Int, w: Int): String = {
+    val pvals = probes.map(p => s"('$p')").mkString(", ")
+    s"""WITH ${cmsCtes(table, groupCol, textCol, d, w, probes)},
+       |cells AS (
+       |  SELECT o.g, rb.r, rb.j, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM occ o JOIN rb ON o.tok = rb.s
+       |  GROUP BY o.g, rb.r, rb.j),
+       |groups AS (SELECT DISTINCT g FROM occ),
+       |pe AS (SELECT p.s AS word, rb.r, rb.j
+       |       FROM (VALUES $pvals) p(s) JOIN rb ON rb.s = p.s),
+       |looked AS (
+       |  SELECT groups.g, pe.word, pe.r, coalesce(cells.cnt, 0) AS cnt
+       |  FROM groups CROSS JOIN pe
+       |  LEFT JOIN cells ON cells.g = groups.g AND cells.r = pe.r
+       |                 AND cells.j = pe.j),
+       |est AS (SELECT g, word, CAST(min(cnt) AS BIGINT) AS est
+       |        FROM looked GROUP BY g, word),
+       |tc AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS c
+       |       FROM occ GROUP BY g, tok)
+       |SELECT est.g AS $groupCol, est.word, est.est,
+       |       coalesce(tc.c, 0) AS true_cnt
+       |FROM est LEFT JOIN tc ON tc.g = est.g AND tc.tok = est.word""".stripMargin
+  }
+
+  /** q_dsir_select: hashed importance-weight selection
+    * ([[graft.text.Dsir.select]]) re-derived. Target = rows matching
+    * `targetPred`, pool = the rest. Each DISTINCT token is hashed ONCE
+    * through the XXH64 chain; bucket counts, the add-1 smoothed
+    * log-likelihood ratio on the micro-log grid (one log10 of an
+    * exact-integer ratio per occurrence, summed as BIGINT), and the
+    * (weight DESC, id ASC) top-k rank all replay the pinned Scala
+    * semantics.
+    */
+  def qDsirSelectSql(table: String, idCol: String, textCol: String,
+                     targetPred: String, numBuckets: Int, k: Long): String = {
+    s"""WITH toks AS (
+       |  SELECT $idCol AS id, ($targetPred) AS tgt,
+       |         regexp_split_to_array(trim($textCol), '\\s+') AS t
+       |  FROM $table),
+       |occ AS (
+       |  SELECT id, tgt, w AS g
+       |  FROM (SELECT id, tgt, unnest(t) AS w FROM toks) WHERE w <> ''),
+       |dg AS (SELECT DISTINCT g AS s FROM occ),
+       |xh AS (${xxh64StrSql("SELECT s FROM dg")}),
+       |bk AS (SELECT s, CAST((base & ${numBuckets - 1}) AS BIGINT) AS b FROM xh),
+       |ob AS (SELECT o.id, o.tgt, bk.b FROM occ o JOIN bk ON o.g = bk.s),
+       |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM ob WHERE tgt GROUP BY b),
+       |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM ob WHERE NOT tgt GROUP BY b),
+       |tts AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ob WHERE tgt),
+       |rts AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ob WHERE NOT tgt),
+       |sc AS (
+       |  SELECT ob.id,
+       |    CAST(round(log10(
+       |      CAST((coalesce(tc.ct, 0) + 1) * (rts.n + $numBuckets) AS DOUBLE) /
+       |      CAST((coalesce(rc.cr, 0) + 1) * (tts.n + $numBuckets) AS DOUBLE)) * 1e6)
+       |      AS BIGINT) AS s
+       |  FROM ob LEFT JOIN tc ON ob.b = tc.b
+       |          LEFT JOIN rc ON ob.b = rc.b
+       |          CROSS JOIN tts CROSS JOIN rts
+       |  WHERE NOT ob.tgt),
+       |w AS (SELECT id, CAST(count(*) AS BIGINT) AS n_feats,
+       |             CAST(sum(s) AS BIGINT) AS weight_micro
+       |      FROM sc GROUP BY id),
+       |rk AS (SELECT id, n_feats, weight_micro,
+       |         CAST(row_number() OVER (ORDER BY weight_micro DESC, id)
+       |              AS BIGINT) AS sel_rank
+       |       FROM w)
+       |SELECT id AS $idCol, n_feats, weight_micro, sel_rank,
+       |       CAST(CASE WHEN sel_rank <= $k THEN 1 ELSE 0 END AS INT) AS kept
+       |FROM rk""".stripMargin
+  }
+
   /** Sequential squared-distance fold (the JVM's loop order). */
   private def seqSqDist(v: String, c: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
