@@ -62,6 +62,16 @@ object SparkEntry {
     Features.saltedCount(p, "event_id")
   }
 
+  /** Pinned BM25 query fixture — ONE source of truth consumed by both the
+    * q_bm25_topk Spark call AND its Bm25.topKSql oracle twin (q3's first
+    * term is absent from the corpus on purpose: partial-match path).
+    */
+  private val bm25Queries: Seq[(String, String)] = Seq(
+    "q0" -> "scan merge window",
+    "q1" -> "vector join",
+    "q2" -> "customer slow filter",
+    "q3" -> "zeppelin scan")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S2/P1 — transcripts scan+projection; per-turn text equality gate.
     "q_transcripts" -> ((s, dir) => transcripts(s, dir)),
@@ -831,6 +841,17 @@ object SparkEntry {
       graft.text.Dsir.select(
         d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
         "doc_id", "text", k = 100L)
+    },
+
+    // BM25 lexical top-k retrieval (Okapi; Lucene always-positive idf):
+    // exact inverted-index scoring of the pinned query fixture, per-term
+    // scores on the integer micro grid (order-independent per-doc sum),
+    // per-query rank via the distributed global rank — never a
+    // one-task-per-query window. Fixture + k shared with the oracle twin
+    // (Bm25.topKSql consumes the same Seq).
+    "q_bm25_topk" -> { (s, dir) =>
+      graft.text.Bm25.topK(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", bm25Queries, k = 10L)
     },
 
     // hashed linear quality classifier (fastText-style apply): map-only
@@ -2384,6 +2405,9 @@ object SparkEntry {
       "documents", "doc_id", "source", "n_chars",
       Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 5.0),
       budget = 4000L),
+
+    "q_bm25_topk" -> graft.text.Bm25.topKSql(
+      "documents", "doc_id", "text", bm25Queries, k = 10L),
 
     "q_dsir_select" -> graft.oracle.HashOracleSql.qDsirSelectSql(
       "documents", "doc_id", "text", targetPred = "source = 'src0'",
