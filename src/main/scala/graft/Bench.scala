@@ -137,7 +137,8 @@ object Bench {
       ("dsir_select",      SparkEntry.queries("q_dsir_select"),      2),
       ("concat_chunks",    SparkEntry.queries("q_concat_chunks"),    2),
       ("cms_cells",        SparkEntry.queries("q_cms_cells"),        2),
-      ("bm25_topk",        SparkEntry.queries("q_bm25_topk"),        2)
+      ("bm25_topk",        SparkEntry.queries("q_bm25_topk"),        2),
+      ("exact_quantiles",  SparkEntry.queries("q_exact_quantiles"),  2)
     )
     // best-of-N minimum = the least-interfered estimate on a host with 2-3×
     // CPU-steal storms (see BASELINE.md methodology)

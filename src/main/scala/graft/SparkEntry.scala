@@ -72,6 +72,13 @@ object SparkEntry {
     "q2" -> "customer slow filter",
     "q3" -> "zeppelin scan")
 
+  /** Pinned rational quantiles — ONE source of truth for q_exact_quantiles'
+    * Spark call AND its Stats.exactQuantilesBySql oracle twin (min, quartiles,
+    * p90/p99, max).
+    */
+  private val quantilesFixture: Seq[(Int, Int)] =
+    Seq((0, 1), (1, 4), (1, 2), (3, 4), (9, 10), (99, 100), (1, 1))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S2/P1 — transcripts scan+projection; per-turn text equality gate.
     "q_transcripts" -> ((s, dir) => transcripts(s, dir)),
@@ -841,6 +848,18 @@ object SparkEntry {
       graft.text.Dsir.select(
         d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
         "doc_id", "text", k = 100L)
+    },
+
+    // exact per-source token-length quantiles (corpus profiling): pinned
+    // all-integer nearest-rank selection over the distributed global rank —
+    // exact (and therefore oracle-able) where percentile_approx is
+    // engine-defined fuzz. Fixture shared with the oracle twin.
+    "q_exact_quantiles" -> { (s, dir) =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"),
+          size(filter(TextAnalysis.tokens(col("text")), w => w =!= lit("")))
+            .cast("long").as("len"))
+      graft.agg.Stats.exactQuantilesBy(d, "source", "len", quantilesFixture)
     },
 
     // BM25 lexical top-k retrieval (Okapi; Lucene always-positive idf):
@@ -2408,6 +2427,12 @@ object SparkEntry {
 
     "q_bm25_topk" -> graft.text.Bm25.topKSql(
       "documents", "doc_id", "text", bm25Queries, k = 10L),
+
+    "q_exact_quantiles" -> graft.agg.Stats.exactQuantilesBySql(
+      "documents", "source",
+      "CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+')," +
+        " w -> w <> '')) AS BIGINT)",
+      quantilesFixture),
 
     "q_dsir_select" -> graft.oracle.HashOracleSql.qDsirSelectSql(
       "documents", "doc_id", "text", targetPred = "source = 'src0'",
