@@ -21,6 +21,13 @@ import graft.parse.{Drain, DrainConfig, TemplateEntry}
   * The template dictionary is mined in batch (phase a) and broadcast to the
   * stream (phase b) — template mining itself is not incremental, matching
   * the reference's parse-then-process staging.
+  *
+  * The mergeable sketches need no streaming variant at all: the SAME
+  * [[graft.agg.Sketches.kmvSketchBy]] / [[graft.agg.Sketches.cmsSketchBy]]
+  * transforms run under `readStream`, with streaming-aggregation state per
+  * group being exactly the bounded buffer (k longs / d·w longs), never the
+  * stream history — StreamingSketchSpec proves batch ≡ stream across sliced
+  * micro-batches and asserts state rows == groups.
   */
 object Streaming {
 
