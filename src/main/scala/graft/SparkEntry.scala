@@ -839,6 +839,18 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
     },
 
+    // deterministic class-balanced sampling: exactly min(n, |group|) docs
+    // per source by the seeded-hash prefix order — re-runnable and
+    // partition-independent where sampleBy is neither; rank via the
+    // distributed global rank. n mirrored at the
+    // HashOracleSql.qStratifiedSampleSql call site.
+    "q_stratified_sample" -> { (s, dir) =>
+      graft.agg.Preprocessing.stratifiedExactN(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id", "source"),
+          "source", "doc_id", n = 20L)
+        .select("source", "doc_id", "smp_rank")
+    },
+
     // DSIR-style targeted data selection: hashed-unigram importance weights
     // (target = src0 documents, pool = the rest), exact top-k by weight.
     // Both models are <=4096-row broadcasts; scoring is map-only. Parameters
@@ -2424,6 +2436,9 @@ object SparkEntry {
       "documents", "doc_id", "source", "n_chars",
       Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 5.0),
       budget = 4000L),
+
+    "q_stratified_sample" -> graft.oracle.HashOracleSql.qStratifiedSampleSql(
+      "documents", "doc_id", "source", n = 20L),
 
     "q_bm25_topk" -> graft.text.Bm25.topKSql(
       "documents", "doc_id", "text", bm25Queries, k = 10L),

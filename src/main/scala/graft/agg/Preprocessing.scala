@@ -298,6 +298,33 @@ object Preprocessing {
       .drop("__thr")
   }
 
+  /** Deterministic class-balanced sampling: EXACTLY min(n, |group|) rows
+    * per group — the balanced-training-set op `sampleBy` cannot give (it is
+    * probabilistic AND partition-dependent). Selection = the group's n rows
+    * smallest in (unsigned xxhash64(idCol), id) order, i.e. a seeded-shuffle
+    * prefix per group: re-runnable, partition-independent, and replayable in
+    * DuckDB (HashOracleSql.qStratifiedSampleSql — the unsigned order is the
+    * XOR-sign-fold trick, matching the oracle's 0..2^64-1 hash domain).
+    *
+    * Scale shape: per-group rank from [[graft.util.Rank.globalRowNumber]]
+    * over (group, hash, id) — a DISTRIBUTED range sort — minus a broadcast
+    * per-group offset; never a one-task-per-group window. Output keeps all
+    * input columns plus `smp_rank` (1-based within the group).
+    */
+  def stratifiedExactN(df: DataFrame, groupCol: String, idCol: String,
+                       n: Long): DataFrame = {
+    require(n >= 1, "stratifiedExactN needs n >= 1")
+    val keyed = df.withColumn("__h",
+      xxhash64(col(idCol)).bitwiseXOR(lit(Long.MinValue)))
+    val (ranked, _) = graft.util.Rank.globalRowNumber(keyed,
+      Seq(col(groupCol), col("__h").asc, col(idCol).asc), "__gr")
+    val base = ranked.groupBy(col(groupCol)).agg(min(col("__gr")).as("__r0"))
+    ranked.join(broadcast(base), Seq(groupCol))
+      .withColumn("smp_rank", col("__gr") - col("__r0") + 1L)
+      .filter(col("smp_rank") <= n)
+      .drop("__h", "__gr", "__r0")
+  }
+
   /** W4 — logbert-style chunking: split each sequence into consecutive
     * `windowSize` chunks, truncating to `maxLen` chunks
     * (bert_pytorch/dataset/sample.py:21-55).

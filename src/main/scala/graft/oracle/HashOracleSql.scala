@@ -473,6 +473,26 @@ object HashOracleSql {
        |FROM est LEFT JOIN tc ON tc.g = est.g AND tc.tok = est.word""".stripMargin
   }
 
+  /** q_stratified_sample: deterministic class-balanced exact-N sampling
+    * ([[graft.agg.Preprocessing.stratifiedExactN]]) — each group's n rows
+    * smallest in (unsigned xxhash64(id), id) order. The Scala side orders by
+    * the sign-XOR-folded hash; `hf` here lives in 0..2^64-1, the same total
+    * order.
+    */
+  def qStratifiedSampleSql(table: String, idCol: String, groupCol: String,
+                           n: Long): String = {
+    val hashed = nest(
+      s"SELECT $idCol, $groupCol, " +
+        s"((CAST($idCol AS HUGEINT) + $M) & $MASK) AS idh FROM $table",
+      hashLongSteps("idh", "CAST(42 AS HUGEINT)", "h"))
+    s"""WITH rk AS (
+       |  SELECT $idCol, $groupCol,
+       |    CAST(row_number() OVER (PARTITION BY $groupCol
+       |      ORDER BY hf, $idCol) AS BIGINT) AS smp_rank
+       |  FROM ($hashed))
+       |SELECT $groupCol, $idCol, smp_rank FROM rk WHERE smp_rank <= $n""".stripMargin
+  }
+
   /** q_dsir_select: hashed importance-weight selection
     * ([[graft.text.Dsir.select]]) re-derived. Target = rows matching
     * `targetPred`, pool = the rest. Each DISTINCT token is hashed ONCE

@@ -103,4 +103,38 @@ class LmMixSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
   }
+
+  test("stratifiedExactN: exact min(n,|group|) per group, prefix property, ranks a permutation") {
+    // group sizes straddle n: g0 has 40, g1 has 10, g2 has 3
+    val df = ((1L to 40L).map(i => (i, "g0")) ++
+      (101L to 110L).map(i => (i, "g1")) ++
+      (201L to 203L).map(i => (i, "g2"))).toDF("id", "g")
+    def run(n: Long) = Preprocessing.stratifiedExactN(df, "g", "id", n)
+      .select("g", "id", "smp_rank").as[(String, Long, Long)].collect()
+    val got = run(15L)
+    val bySize = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySize === Map("g0" -> 15, "g1" -> 10, "g2" -> 3))
+    // ranks are 1..k within each group
+    got.groupBy(_._1).foreach { case (g, xs) =>
+      assert(xs.map(_._3).sorted.toSeq === (1L to xs.length).toSeq, s"group $g")
+    }
+    // prefix property: the n=5 selection is the first 5 of the n=15 selection
+    val small = run(5L).map(r => (r._1, r._2)).toSet
+    val prefix = got.filter(_._3 <= 5L).map(r => (r._1, r._2)).toSet
+    assert(small === prefix)
+  }
+
+  test("stratifiedExactN: partition-independent, re-runnable, no Window node") {
+    val df = (1L to 300L).map(i => (i, s"g${i % 4}")).toDF("id", "g")
+    def ids(in: org.apache.spark.sql.DataFrame) =
+      Preprocessing.stratifiedExactN(in, "g", "id", 12L)
+        .select("g", "id", "smp_rank").as[(String, Long, Long)].collect().toSet
+    val a = ids(df.repartition(1))
+    assert(a === ids(df.repartition(13, col("id"))))
+    assert(a === ids(df)) // re-run: same selection
+    val plan = Preprocessing.stratifiedExactN(df, "g", "id", 12L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"per-group window crept in (one task per group at scale):\n$plan")
+  }
 }
