@@ -79,6 +79,13 @@ object SparkEntry {
   private val quantilesFixture: Seq[(Int, Int)] =
     Seq((0, 1), (1, 4), (1, 2), (3, 4), (9, 10), (99, 100), (1, 1))
 
+  /** Pinned split weights — ONE source of truth for q_split_assign's Spark
+    * call AND its HashOracleSql.qSplitAssignSql oracle twin (both inject the
+    * identical Preprocessing.splitBounds longs).
+    */
+  private val splitSpec: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S2/P1 — transcripts scan+projection; per-turn text equality gate.
     "q_transcripts" -> ((s, dir) => transcripts(s, dir)),
@@ -466,6 +473,19 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), Seq("source"), "text", k = 64)
     },
 
+    // pairwise source-vocabulary overlap from the mergeable per-source KMV
+    // token sketches (Beyer et al. SIGMOD'07 multiset combine): j_num/j_den
+    // are exact integers GIVEN the sketches, so the DuckDB oracle replays
+    // sketch + combine end to end. k mirrored at the qKmvJaccardSql call.
+    "q_kmv_jaccard" -> { (s, dir) =>
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      graft.agg.Sketches.kmvJaccardPairs(
+        graft.agg.Sketches.kmvSketchBy(toks, Seq("source"), "tok", k = 64),
+        "source", "kmv_sketch", k = 64)
+    },
+
     // Count-Min sketch grid (Cormode-Muthukrishnan 2005): per-source token
     // occurrence counts via the graft_cms mergeable aggregate, dumped as
     // sparse (source, r, j, cnt) cells. Cells are exact SUMS, so the oracle
@@ -851,6 +871,17 @@ object SparkEntry {
         .select("source", "doc_id", "smp_rank")
     },
 
+    // deterministic train/val/test assignment: content-stable where Spark's
+    // randomSplit is partition-order-dependent; map-only (no shuffle). The
+    // split weights are the shared splitSpec fixture — both engines consume
+    // the same driver-computed Preprocessing.splitBounds longs.
+    "q_split_assign" -> { (s, dir) =>
+      graft.agg.Preprocessing.splitByHash(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id"),
+          "doc_id", splitSpec)
+        .select("doc_id", "split")
+    },
+
     // DSIR-style targeted data selection: hashed-unigram importance weights
     // (target = src0 documents, pool = the rest), exact top-k by weight.
     // Both models are <=4096-row broadcasts; scoring is map-only. Parameters
@@ -1029,6 +1060,20 @@ object SparkEntry {
       graft.sources.CsvArtifacts.writeTemplatesCsv(
         s.createDataFrame(dict).select("event_id", "event_template", "occurrences"), path)
       graft.sources.CsvArtifacts.readTemplatesCsv(s, path)
+    },
+
+    // S6 under ORC — the structured parse output round-tripped through
+    // Spark's second built-in columnar format (schema-on-read; its scan
+    // supports predicate pushdown like parquet — OrcRoundTripSpec asserts
+    // PushedFilters). Lossless, so the oracle is the parse itself.
+    "q_orc_structured" -> { (s, dir) =>
+      val p = parsed(s, dir)
+        .select("conv_id", "turn_idx", "event_id", "event_template")
+      val path = csvWorkDir(s, "orc_structured")
+      p.write.mode("overwrite").orc(path)
+      s.read.schema(
+          "conv_id STRING, turn_idx INT, event_id STRING, event_template STRING")
+        .orc(path)
     },
 
     // P7 — drop-k-header-tokens projection over a reconstructed raw line
@@ -2273,6 +2318,9 @@ object SparkEntry {
     "q_csv_structured" -> withP(
       """SELECT conv_id, turn_idx, event_id, event_template FROM parsed""".stripMargin),
 
+    "q_orc_structured" -> withP(
+      """SELECT conv_id, turn_idx, event_id, event_template FROM parsed""".stripMargin),
+
     "q_csv_templates" -> withP(
       """SELECT event_id, event_template, count(*) AS occurrences
         |FROM parsed GROUP BY 1, 2""".stripMargin),
@@ -2440,6 +2488,9 @@ object SparkEntry {
     "q_stratified_sample" -> graft.oracle.HashOracleSql.qStratifiedSampleSql(
       "documents", "doc_id", "source", n = 20L),
 
+    "q_split_assign" -> graft.oracle.HashOracleSql.qSplitAssignSql(
+      "documents", "doc_id", splitSpec),
+
     "q_bm25_topk" -> graft.text.Bm25.topKSql(
       "documents", "doc_id", "text", bm25Queries, k = 10L),
 
@@ -2462,6 +2513,8 @@ object SparkEntry {
     "q_kmv_distinct" -> graft.oracle.HashOracleSql.qKmvDistinctSql(
       "documents", "text", k = 64),
     "q_kmv_grouped" -> graft.oracle.HashOracleSql.qKmvGroupedSql(
+      "documents", "source", "text", k = 64),
+    "q_kmv_jaccard" -> graft.oracle.HashOracleSql.qKmvJaccardSql(
       "documents", "source", "text", k = 64),
     "q_cms_cells" -> graft.oracle.HashOracleSql.qCmsCellsSql(
       "documents", "source", "text", d = 4, w = 64),

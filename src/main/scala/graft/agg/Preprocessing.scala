@@ -325,6 +325,46 @@ object Preprocessing {
       .drop("__h", "__gr", "__r0")
   }
 
+  /** Split-boundary thresholds for [[splitByHash]] — factored out so the
+    * Spark plan and the DuckDB oracle ([[graft.oracle.HashOracleSql
+    * .qSplitAssignSql]]) inject the SAME driver-computed Long literals:
+    * running weight sum in declaration order, divided by the total, scaled
+    * by 2^53 and floored (each step correctly-rounded IEEE — but it does not
+    * even matter, because both engines consume these exact longs, never the
+    * doubles). One boundary per split EXCEPT the last, which takes the
+    * remainder of the hash domain.
+    */
+  def splitBounds(splits: Seq[(String, Double)]): Seq[Long] = {
+    require(splits.size >= 2, "splitByHash needs at least two splits")
+    require(splits.forall(_._2 > 0), "split weights must be positive")
+    val tot = splits.map(_._2).sum
+    splits.map(_._2).scanLeft(0.0)(_ + _).tail.init
+      .map(c => math.floor(c / tot * 9007199254740992.0).toLong) // 2^53
+  }
+
+  /** Deterministic train/validation/test assignment — the split every
+    * pipeline needs and Spark's own `randomSplit` cannot give reproducibly
+    * (it is partition-order-dependent: a repartition or a source re-split
+    * reassigns rows). Each row's split is a pure function of its id:
+    * `split_i` iff `xxhash64(id) >>> 11 < bound_i` (first match wins, the
+    * last split takes the rest), with the bounds from [[splitBounds]] — so
+    * membership is content-stable across runs, engines, and cluster layouts,
+    * and adding new rows never moves an existing row between splits.
+    *
+    * Scale shape: map-only — one codegen'd projection, zero shuffle, zero
+    * driver state; the split can be recomputed on demand instead of stored.
+    */
+  def splitByHash(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    val bounds = splitBounds(splits)
+    val u = shiftrightunsigned(xxhash64(col(idCol)), 11)
+    val first = when(u < lit(bounds.head), lit(splits.head._1))
+    val chained = bounds.tail.zip(splits.map(_._1).drop(1)).foldLeft(first) {
+      case (acc, (b, name)) => acc.when(u < lit(b), lit(name))
+    }
+    df.withColumn("split", chained.otherwise(lit(splits.last._1)))
+  }
+
   /** W4 — logbert-style chunking: split each sequence into consecutive
     * `windowSize` chunks, truncating to `maxLen` chunks
     * (bert_pytorch/dataset/sample.py:21-55).

@@ -146,6 +146,43 @@ object Sketches {
     kmvSketchBy(df, groupCols, c, k)
       .select(groupCols.map(col) ++ estimateCols(col("kmv_sketch"), k): _*)
 
+  /** Pairwise SET-OPERATION estimates between per-group KMV sketches — the
+    * reason KMV beats HLL for corpus bookkeeping: the bottom-k sets compose.
+    * For each group pair (g1 < g2) the standard combine (Beyer et al.,
+    * "On synopses for distinct-value estimation under multiset operations",
+    * SIGMOD'07 — public): U = the k smallest hashes of sketch(A) ∪ sketch(B)
+    * (itself the exact KMV sketch of A ∪ B), Jaccard ≈ |U ∩ A ∩ B| / |U|,
+    * and |A ∪ B| from the same (k-1)·2^64/h_k estimator as [[kmvDistinct]].
+    * `j_num`/`j_den` are EXACT integers given the sketches — which is why a
+    * DuckDB oracle exists ([[graft.oracle.HashOracleSql.qKmvJaccardSql]]
+    * replays the bottom-k sets and this combine verbatim); `jacc` is the one
+    * rounded double both engines derive from them identically.
+    *
+    * Scale shape: the input is ALREADY reduced to one k-long row per group
+    * (the expensive pass is [[kmvSketchBy]]); the pair join is a broadcast
+    * nested-loop over GROUPS — #groups² pairs is the requested output, and
+    * per-pair work is O(k·log k) array ops on ≤2k elements. Never feed this
+    * row-level data.
+    */
+  def kmvJaccardPairs(sketches: DataFrame, groupCol: String,
+                      sketchCol: String, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    // folded domain (x ^ MinValue): signed order == unsigned hash order
+    val fold = (c: Column) => transform(c, x => x.bitwiseXOR(lit(Long.MinValue)))
+    val a = sketches.select(col(groupCol).as("g1"), fold(col(sketchCol)).as("f1"))
+    val b = sketches.select(col(groupCol).as("g2"), fold(col(sketchCol)).as("f2"))
+    val paired = a.join(broadcast(b), col("g1") < col("g2"))
+      .withColumn("u", slice(array_sort(array_union(col("f1"), col("f2"))), 1, k))
+    val jNum = size(filter(col("u"),
+      x => array_contains(col("f1"), x) && array_contains(col("f2"), x))).cast("long")
+    val jDen = size(col("u")).cast("long")
+    val kth = element_at(col("u"), size(col("u"))).bitwiseXOR(lit(Long.MinValue))
+    paired.select(col("g1"), col("g2"),
+      jNum.as("j_num"), jDen.as("j_den"),
+      round(jNum.cast("double") / jDen.cast("double"), 6).as("jacc"),
+      estExpr(jDen, kth, k).as("est_union"))
+  }
+
   // ---------------------------------------------------------------- CMS ---
 
   /** Row-r bucket of a base hash: `xxhash64(value, lit(r)) & (w-1)` — the

@@ -332,6 +332,58 @@ object HashOracleSql {
        |FROM agg""".stripMargin
   }
 
+  /** q_kmv_jaccard: pairwise KMV set-operation estimates
+    * ([[graft.agg.Sketches.kmvJaccardPairs]] over [[graft.agg.Sketches
+    * .kmvSketchBy]] token sketches) re-derived END TO END: the same
+    * whitespace tokenization as the CMS oracles, each DISTINCT token hashed
+    * ONCE through the XXH64 CTE, per-group bottom-k (the sketch), then the
+    * Beyer et al. combine — U = bottom-k of the two sketches' union,
+    * j_num = |U ∩ A ∩ B|, j_den = |U| (exact integers), and the same
+    * (k-1)·2^64/h_k estimator chain as [[qKmvDistinctSql]] on U's kth.
+    */
+  def qKmvJaccardSql(table: String, groupCol: String, textCol: String,
+                     k: Int): String = {
+    val two64d = "1.8446744073709552e19"
+    s"""WITH toks AS (
+       |  SELECT $groupCol AS g,
+       |         unnest(regexp_split_to_array(trim($textCol), '\\s+')) AS tok
+       |  FROM $table),
+       |gtok AS (SELECT DISTINCT g, tok FROM toks WHERE tok <> ''),
+       |dt AS (SELECT DISTINCT tok AS s FROM gtok),
+       |xh AS (${xxh64StrSql("SELECT s FROM dt")}),
+       |gh AS (SELECT DISTINCT g, base FROM gtok JOIN xh ON xh.s = gtok.tok),
+       |rk AS (SELECT g, base,
+       |              row_number() OVER (PARTITION BY g ORDER BY base) AS rn
+       |       FROM gh),
+       |sk AS (SELECT g, base FROM rk WHERE rn <= $k),
+       |gs AS (SELECT DISTINCT g FROM sk),
+       |pr AS (SELECT a.g AS g1, b.g AS g2 FROM gs a JOIN gs b ON a.g < b.g),
+       |uh AS (SELECT p.g1, p.g2, s.base,
+       |              row_number() OVER (PARTITION BY p.g1, p.g2
+       |                ORDER BY s.base) AS rn
+       |       FROM pr p JOIN sk s ON s.g = p.g1 OR s.g = p.g2
+       |       GROUP BY p.g1, p.g2, s.base),
+       |u AS (SELECT g1, g2, base FROM uh WHERE rn <= $k),
+       |den AS (SELECT g1, g2, CAST(count(*) AS BIGINT) AS j_den,
+       |               ${signed("max(base)")} AS kth_hash
+       |        FROM u GROUP BY 1, 2),
+       |num AS (SELECT u.g1, u.g2, CAST(count(*) AS BIGINT) AS j_num
+       |        FROM u JOIN sk s1 ON s1.g = u.g1 AND s1.base = u.base
+       |               JOIN sk s2 ON s2.g = u.g2 AND s2.base = u.base
+       |        GROUP BY 1, 2)
+       |SELECT d.g1, d.g2, CAST(coalesce(n.j_num, 0) AS BIGINT) AS j_num,
+       |       d.j_den,
+       |       round(CAST(coalesce(n.j_num, 0) AS DOUBLE) /
+       |             CAST(d.j_den AS DOUBLE), 6) AS jacc,
+       |       round(CASE WHEN d.j_den < $k THEN CAST(d.j_den AS DOUBLE)
+       |                  ELSE ${(k - 1).toDouble} * $two64d /
+       |                       (CAST(d.kth_hash AS DOUBLE) +
+       |                        CASE WHEN d.kth_hash < 0 THEN $two64d
+       |                             ELSE 0.0 END)
+       |             END, 2) AS est_union
+       |FROM den d LEFT JOIN num n ON n.g1 = d.g1 AND n.g2 = d.g2""".stripMargin
+  }
+
   /** q_domain_mix: the deterministic domain-mixture sampler
     * ([[graft.agg.Preprocessing.mixtureSample]]) re-derived. Per-domain token
     * totals join the literal weights; the keep threshold
@@ -491,6 +543,28 @@ object HashOracleSql {
        |      ORDER BY hf, $idCol) AS BIGINT) AS smp_rank
        |  FROM ($hashed))
        |SELECT $groupCol, $idCol, smp_rank FROM rk WHERE smp_rank <= $n""".stripMargin
+  }
+
+  /** q_split_assign: deterministic train/val/test assignment
+    * ([[graft.agg.Preprocessing.splitByHash]]) re-derived. The boundary
+    * longs come from the SAME [[graft.agg.Preprocessing.splitBounds]] call
+    * the Spark plan uses (driver-computed literals — no cross-engine float
+    * arithmetic at all); the row hash replays Spark's `xxhash64(BIGINT)`
+    * through the HUGEINT chain and the top 53 bits pick the first boundary
+    * they fall under (the last split takes the remainder).
+    */
+  def qSplitAssignSql(table: String, idCol: String,
+                      splits: Seq[(String, Double)]): String = {
+    val bounds = graft.agg.Preprocessing.splitBounds(splits)
+    val hashed = nest(
+      s"SELECT $idCol, ((CAST($idCol AS HUGEINT) + $M) & $MASK) AS idh FROM $table",
+      hashLongSteps("idh", "CAST(42 AS HUGEINT)", "h"))
+    val whens = bounds.zip(splits.map(_._1)).map { case (b, name) =>
+      s"WHEN top53 < CAST($b AS HUGEINT) THEN '$name'"
+    }.mkString(" ")
+    s"""WITH hx AS (SELECT $idCol, (hf >> 11) AS top53 FROM ($hashed))
+       |SELECT $idCol, CASE $whens ELSE '${splits.last._1}' END AS split
+       |FROM hx""".stripMargin
   }
 
   /** q_dsir_select: hashed importance-weight selection

@@ -117,4 +117,45 @@ class KmvGroupedSpec extends AnyFunSuite {
     assert(plan.contains("partial_graft_kmv"), s"no map-side partial agg:\n$plan")
     assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$plan")
   }
+
+  test("kmvJaccardPairs: exact below k, identical/disjoint/overlap groups") {
+    // below k the sketch IS the value set, so the combine is exact Jaccard
+    val df = (
+      (0 until 30).map(i => ("a", s"v$i")) ++          // a = {0..29}
+      (0 until 30).map(i => ("b", s"v$i")) ++          // b == a
+      (30 until 60).map(i => ("c", s"v$i")) ++         // c disjoint from a/b
+      (15 until 45).map(i => ("d", s"v$i"))            // d overlaps both halves
+    ).toDF("g", "v")
+    val got = Sketches.kmvJaccardPairs(
+        Sketches.kmvSketchBy(df, Seq("g"), "v", 64), "g", "kmv_sketch", 64)
+      .select("g1", "g2", "j_num", "j_den", "jacc", "est_union")
+      .as[(String, String, Long, Long, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got.size === 6)
+    val ab = got(("a", "b")); val ac = got(("a", "c")); val ad = got(("a", "d"))
+    assert((ab._3, ab._4, ab._5, ab._6) === ((30L, 30L, 1.0, 30.0)))
+    assert((ac._3, ac._4, ac._5, ac._6) === ((0L, 60L, 0.0, 60.0)))
+    // |a ∩ d| = 15, |a ∪ d| = 45 → 1/3
+    assert((ad._3, ad._4, ad._6) === ((15L, 45L, 45.0)))
+    assert(math.abs(ad._5 - 0.333333) < 1e-9)
+  }
+
+  test("kmvJaccardPairs above k: j_den capped at k, estimator tracks true union") {
+    val df = (
+      (0 until 400).map(i => ("x", s"v$i")) ++
+      (200 until 600).map(i => ("y", s"v$i"))          // true J = 200/600
+    ).toDF("g", "v")
+    val k = 64
+    val r = Sketches.kmvJaccardPairs(
+        Sketches.kmvSketchBy(df, Seq("g"), "v", k), "g", "kmv_sketch", k)
+      .select("g1", "g2", "j_num", "j_den", "jacc", "est_union")
+      .as[(String, String, Long, Long, Double, Double)].collect()
+    assert(r.length === 1)
+    val (_, _, num, den, jacc, est) = r.head
+    assert(den === k.toLong)
+    assert(num > 0 && num < den)
+    assert(jacc === math.rint(num.toDouble / den * 1e6) / 1e6 ||
+      math.abs(jacc - num.toDouble / den) < 1e-6)
+    assert(est > 400 && est < 900, s"union estimate $est far from 600")
+  }
 }

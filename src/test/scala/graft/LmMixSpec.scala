@@ -137,4 +137,35 @@ class LmMixSpec extends AnyFunSuite {
     assert(!plan.contains("Window"),
       s"per-group window crept in (one task per group at scale):\n$plan")
   }
+
+  test("splitByHash: total, content-stable under growth/partitioning, map-only") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val small = (1L to 2000L).toDF("id")
+    val big   = (1L to 6000L).toDF("id")
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Preprocessing.splitByHash(df, "id", splits)
+        .select("id", "split").as[(Long, String)].collect().toMap
+    val a = assign(small)
+    assert(a.size === 2000 && a.values.forall(Set("train", "val", "test")))
+    // proportions land near the weights (hash-uniformity sanity)
+    val frac = a.values.count(_ == "train").toDouble / a.size
+    assert(frac > 0.75 && frac < 0.85, s"train fraction $frac")
+    // growing the corpus NEVER moves an existing row between splits
+    // (randomSplit fails exactly this), and partitioning is irrelevant
+    val b = assign(big)
+    assert(a.forall { case (id, s) => b(id) == s })
+    assert(assign(small.repartition(17, col("id"))) === a)
+    // map-only: no exchange anywhere in the plan
+    val plan = Preprocessing.splitByHash(small, "id", splits)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"splitByHash must not shuffle:\n$plan")
+  }
+
+  test("splitBounds: boundaries partition the 2^53 hash domain in order") {
+    val b = Preprocessing.splitBounds(Seq("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+    assert(b === Seq((1L << 52), (1L << 52) + (1L << 51)))
+    intercept[IllegalArgumentException] {
+      Preprocessing.splitBounds(Seq("only" -> 1.0))
+    }
+  }
 }
