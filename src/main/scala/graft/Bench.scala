@@ -138,7 +138,11 @@ object Bench {
       ("concat_chunks",    SparkEntry.queries("q_concat_chunks"),    2),
       ("cms_cells",        SparkEntry.queries("q_cms_cells"),        2),
       ("bm25_topk",        SparkEntry.queries("q_bm25_topk"),        2),
-      ("exact_quantiles",  SparkEntry.queries("q_exact_quantiles"),  2)
+      ("exact_quantiles",  SparkEntry.queries("q_exact_quantiles"),  2),
+      // late-round-6 operators (baselines start this round)
+      ("kmv_jaccard",      SparkEntry.queries("q_kmv_jaccard"),      2),
+      ("stratified_sample", SparkEntry.queries("q_stratified_sample"), 2),
+      ("split_assign",     SparkEntry.queries("q_split_assign"),     2)
     )
     // best-of-N minimum = the least-interfered estimate on a host with 2-3×
     // CPU-steal storms (see BASELINE.md methodology)
