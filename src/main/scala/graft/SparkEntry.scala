@@ -859,6 +859,20 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
     },
 
+    // epoch-aware deterministic upsampling (the uncapped half of the mixing
+    // law): scarce high-weight domains repeat floor(rate) times plus a
+    // hash-gated fractional epoch. Weights/budget mirrored at the
+    // HashOracleSql.qMixtureUpsampleSql call site; budget=500000 keeps every
+    // domain's epoch count in single-to-double digits at all three SFs.
+    "q_mixture_epochs" -> { (s, dir) =>
+      Preprocessing.mixtureUpsample(
+          s.read.parquet(s"$dir/documents.parquet"),
+          idCol = "doc_id", domainCol = "source", tokenCol = "n_chars",
+          weights = Map("src3" -> 0.5, "src7" -> 0.3, "src1" -> 0.05),
+          budget = 500000L)
+        .select("doc_id", "source", "n_chars", "epoch")
+    },
+
     // deterministic class-balanced sampling: exactly min(n, |group|) docs
     // per source by the seeded-hash prefix order — re-runnable and
     // partition-independent where sampleBy is neither; rank via the
@@ -2484,6 +2498,10 @@ object SparkEntry {
       "documents", "doc_id", "source", "n_chars",
       Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 5.0),
       budget = 4000L),
+
+    "q_mixture_epochs" -> graft.oracle.HashOracleSql.qMixtureUpsampleSql(
+      "documents", "doc_id", "source", "n_chars",
+      Seq("src3" -> 0.5, "src7" -> 0.3, "src1" -> 0.05), budget = 500000L),
 
     "q_stratified_sample" -> graft.oracle.HashOracleSql.qStratifiedSampleSql(
       "documents", "doc_id", "source", n = 20L),

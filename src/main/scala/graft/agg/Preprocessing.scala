@@ -325,6 +325,57 @@ object Preprocessing {
       .drop("__h", "__gr", "__r0")
   }
 
+  /** Deterministic EPOCH-AWARE domain mixing — the other half of
+    * [[mixtureSample]] (whose rate caps at 1): pretraining mixes UPSAMPLE
+    * scarce high-weight domains by repeating them fractional-epoch-many
+    * times (LLaMA-style "epochs" column). Every row of domain d is emitted
+    * `floor(rate_d)` times and one extra time iff the [[mixtureSample]] hash
+    * gate passes (`xxhash64(id) >>> 11 < floor(frac_d * 2^53)` with
+    * `frac_d = rate_d - floor(rate_d)`), where
+    * `rate_d = (weight_d * budget) / tokens_d` UNCAPPED. Output = the input
+    * columns plus `epoch` (0-based copy index), so `epoch = 0` rows at
+    * rate < 1 are EXACTLY [[mixtureSample]]'s selection — the two compose
+    * into one mixing law. Every double step (multiply, divide, floor,
+    * subtract — exact by Sterbenz, scale, floor) is mirrored operation for
+    * operation by [[graft.oracle.HashOracleSql.qMixtureUpsampleSql]].
+    *
+    * Scale shape: one tiny per-domain aggregate broadcast back; the corpus
+    * pass is map-only with a bounded per-row explode (rate_d + 1 rows). A
+    * misconfigured weight (an epoch blow-up) fails LOUDLY: the raise_error
+    * lives inside the copies column that the epoch sequence is built from,
+    * so any row-producing action trips it (the rangeJoinBinned pattern).
+    */
+  def mixtureUpsample(df: DataFrame, idCol: String, domainCol: String,
+                      tokenCol: String, weights: Map[String, Double],
+                      budget: Long, maxEpochs: Long = 100L): DataFrame = {
+    require(maxEpochs >= 1, "maxEpochs must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF(domainCol, "__w")
+    val rates = df.groupBy(col(domainCol))
+      .agg(sum(col(tokenCol)).cast("long").as("__tot"))
+      .join(w, Seq(domainCol))
+      .withColumn("__rate", col("__w") * lit(budget.toDouble) / col("__tot"))
+      .withColumn("__copies",
+        when(floor(col("__rate")) <= maxEpochs, floor(col("__rate")).cast("long"))
+          .otherwise(raise_error(concat(
+            lit(s"mixtureUpsample: domain "), col(domainCol),
+            lit(s" needs "), floor(col("__rate")).cast("string"),
+            lit(s" epochs > maxEpochs=$maxEpochs — check weights/budget")))
+            .cast("long")))
+      .withColumn("__thr",
+        floor((col("__rate") - col("__copies").cast("double"))
+          * lit(9007199254740992.0)).cast("long")) // 2^53
+    val keep = shiftrightunsigned(xxhash64(col(idCol)), 11) < col("__thr")
+    df.join(broadcast(rates.select(col(domainCol), col("__copies"), col("__thr"))),
+        Seq(domainCol))
+      .withColumn("__n", col("__copies") + when(keep, lit(1L)).otherwise(lit(0L)))
+      .withColumn("epoch",
+        explode(when(col("__n") > 0, sequence(lit(0L), col("__n") - 1))
+          .otherwise(array().cast("array<bigint>"))))
+      .drop("__copies", "__thr", "__n")
+  }
+
   /** Split-boundary thresholds for [[splitByHash]] — factored out so the
     * Spark plan and the DuckDB oracle ([[graft.oracle.HashOracleSql
     * .qSplitAssignSql]]) inject the SAME driver-computed Long literals:

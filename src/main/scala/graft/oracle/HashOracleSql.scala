@@ -332,6 +332,46 @@ object HashOracleSql {
        |FROM agg""".stripMargin
   }
 
+  /** q_mixture_epochs: epoch-aware deterministic upsampling
+    * ([[graft.agg.Preprocessing.mixtureUpsample]]) re-derived. The per-domain
+    * rate is the SAME double chain as [[qDomainMixSql]] but UNCAPPED:
+    * copies = floor(rate) (exact), the fractional threshold
+    * `floor((rate - copies) * 2^53)` (the subtraction is exact by Sterbenz),
+    * and each row fans out to `copies + gate` epochs via range() — the gate
+    * replaying Spark's `xxhash64(BIGINT)` top-53 bits, an exact integer
+    * compare.
+    */
+  def qMixtureUpsampleSql(table: String, idCol: String, domainCol: String,
+                          tokenCol: String, weights: Seq[(String, Double)],
+                          budget: Long): String = {
+    val wvals = weights
+      .map { case (d, w) => s"('$d', CAST(${w.toString} AS DOUBLE))" }
+      .mkString(", ")
+    val hashed = nest(
+      s"SELECT $idCol, $domainCol, $tokenCol, " +
+        s"((CAST($idCol AS HUGEINT) + $M) & $MASK) AS idh FROM $table",
+      hashLongSteps("idh", "CAST(42 AS HUGEINT)", "h"))
+    s"""WITH w(d, wt) AS (VALUES $wvals),
+       |tot AS (SELECT $domainCol AS d, CAST(sum($tokenCol) AS BIGINT) AS tot
+       |        FROM $table GROUP BY 1),
+       |rt AS (SELECT t.d,
+       |         (w.wt * CAST($budget AS DOUBLE)) / CAST(t.tot AS DOUBLE) AS rate
+       |       FROM tot t JOIN w ON t.d = w.d),
+       |cp AS (SELECT d, CAST(floor(rate) AS BIGINT) AS copies,
+       |         CAST(floor((rate - floor(rate)) * 9007199254740992.0)
+       |              AS BIGINT) AS thr
+       |       FROM rt),
+       |hx AS (SELECT $idCol, $domainCol, $tokenCol, (hf >> 11) AS top53
+       |       FROM ($hashed)),
+       |nn AS (SELECT hx.$idCol, hx.$domainCol, hx.$tokenCol,
+       |         cp.copies + (CASE WHEN hx.top53 < CAST(cp.thr AS HUGEINT)
+       |                           THEN 1 ELSE 0 END) AS n
+       |       FROM hx JOIN cp ON hx.$domainCol = cp.d)
+       |SELECT $idCol, $domainCol, $tokenCol,
+       |       CAST(unnest(range(0, n)) AS BIGINT) AS epoch
+       |FROM nn""".stripMargin
+  }
+
   /** q_kmv_jaccard: pairwise KMV set-operation estimates
     * ([[graft.agg.Sketches.kmvJaccardPairs]] over [[graft.agg.Sketches
     * .kmvSketchBy]] token sketches) re-derived END TO END: the same

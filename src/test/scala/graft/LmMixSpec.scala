@@ -138,6 +138,50 @@ class LmMixSpec extends AnyFunSuite {
       s"per-group window crept in (one task per group at scale):\n$plan")
   }
 
+  test("mixtureUpsample: floor(rate)+gated epoch per row, composes with mixtureSample, loud guard") {
+    val df = Seq(
+      (1L, "a", 1L), (2L, "a", 1L), (3L, "a", 1L), (4L, "a", 1L), // tot 4
+      (10L, "b", 5L), (11L, "b", 5L),                             // tot 10
+      (20L, "c", 7L)                                              // unweighted
+    ).toDF("id", "d", "tok")
+    val weights = Map("a" -> 1.0, "b" -> 0.6)
+    // budget 10 → rate_a = 10/4 = 2.5 (upsample), rate_b = 6/10 = 0.6 (down)
+    val out = Preprocessing.mixtureUpsample(df, "id", "d", "tok", weights, 10L)
+      .select("id", "d", "epoch").as[(Long, String, Long)].collect()
+    assert(!out.exists(_._2 == "c"), "unweighted domain must drop")
+    val byId = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    (1L to 4L).foreach { id =>
+      val e = byId(id)
+      assert(e.length == 2 || e.length == 3, s"id $id epochs $e")
+      assert(e === (0L until e.length.toLong), s"id $id epochs not 0..n-1: $e")
+    }
+    // fractional half lands somewhere: 4·2.5 = 10 expected, 8..12 possible
+    assert(out.count(_._2 == "a") >= 8 && out.count(_._2 == "a") <= 12)
+    byId.view.filterKeys(_ >= 10L).values.foreach(e => assert(e === Seq(0L)))
+    // composition law: rate<1 epoch-0 selection == mixtureSample's keeps
+    val ms = Preprocessing.mixtureSample(df.filter(col("d") === "b"),
+        "id", "d", "tok", Map("b" -> 0.6), 10L)
+      .select("id").as[Long].collect().toSet
+    assert(byId.keySet.filter(_ >= 10L) === ms)
+    // exact-integer rate: thr = 0, every row exactly rate epochs
+    val exact = Preprocessing.mixtureUpsample(df, "id", "d", "tok",
+        Map("a" -> 1.0), 8L) // rate_a = 2.0
+      .select("id", "epoch").as[(Long, Long)].collect()
+    assert(exact.groupBy(_._1).view.mapValues(_.length).toMap ===
+      Map(1L -> 2, 2L -> 2, 3L -> 2, 4L -> 2))
+    // partition independence
+    val re = Preprocessing.mixtureUpsample(df.repartition(7, col("id")),
+        "id", "d", "tok", weights, 10L)
+      .select("id", "d", "epoch").as[(Long, String, Long)].collect()
+    assert(re.sorted.toSeq === out.sorted.toSeq)
+    // epoch blow-up fails loudly, not silently (prune-proof raise_error)
+    val ex = intercept[Exception] {
+      Preprocessing.mixtureUpsample(df, "id", "d", "tok",
+        Map("a" -> 1.0), 10000L, maxEpochs = 100L).count()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("maxEpochs"))
+  }
+
   test("splitByHash: total, content-stable under growth/partitioning, map-only") {
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val small = (1L to 2000L).toDF("id")
