@@ -533,7 +533,115 @@ def supp_domain_mix(con):
            if s in thr and (xxh64_long(i, 42) >> 11) < thr[s]]
     return pd.DataFrame(out, columns=["doc_id", "source", "n_chars"])
 
+def supp_split_assign(con):
+    """Exact port of graft.agg.Preprocessing.splitByHash as pinned at the
+    q_split_assign call site (train/val/test = .8/.1/.1): boundary longs via
+    the splitBounds float chain (running sum, /tot, *2^53, floor — Python
+    float == IEEE double, same op order); split = first boundary the top-53
+    hash bits fall under, last split takes the rest."""
+    import math
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    tot = sum(w for _, w in splits)
+    cums, run = [], 0.0
+    for _, w in splits:
+        run = run + w
+        cums.append(run)
+    bounds = [math.floor(c / tot * 9007199254740992.0) for c in cums[:-1]]
+    rows = con.execute("SELECT doc_id FROM documents").fetchall()
+    out = []
+    for (i,) in rows:
+        u = xxh64_long(i, 42) >> 11
+        name = splits[-1][0]
+        for b, (nm, _) in zip(bounds, splits):
+            if u < b:
+                name = nm
+                break
+        out.append((i, name))
+    return pd.DataFrame(out, columns=["doc_id", "split"])
+
+def supp_stratified_sample(con, n=20):
+    """Exact port of graft.agg.Preprocessing.stratifiedExactN as pinned at
+    the q_stratified_sample call site: per source, the n rows smallest in
+    (unsigned xxh64(doc_id, 42), doc_id) order, 1-based rank."""
+    rows = con.execute("SELECT doc_id, source FROM documents").fetchall()
+    groups = {}
+    for i, g in rows:
+        groups.setdefault(g, []).append((xxh64_long(i, 42), i))
+    out = []
+    for g, hs in groups.items():
+        for rank, (_, i) in enumerate(sorted(hs)[:n], start=1):
+            out.append((g, i, rank))
+    return pd.DataFrame(out, columns=["source", "doc_id", "smp_rank"])
+
+def supp_mixture_epochs(con):
+    """Exact port of graft.agg.Preprocessing.mixtureUpsample as pinned at
+    the q_mixture_epochs call site (src3/src7/src1 = .5/.3/.05, budget
+    500000): rate = (w*budget)/tot UNCAPPED, copies = floor(rate),
+    thr = floor((rate - copies) * 2^53); each row fans out to copies + gate
+    epochs with the same top-53-bit hash gate as supp_domain_mix."""
+    import math
+    weights = {"src3": 0.5, "src7": 0.3, "src1": 0.05}
+    budget = 500000.0
+    rows = con.execute("SELECT doc_id, source, n_chars FROM documents").fetchall()
+    tot = {}
+    for _, s, n in rows:
+        tot[s] = tot.get(s, 0) + n
+    plan = {}
+    for s, w in weights.items():
+        if s not in tot:
+            continue
+        rate = (w * budget) / float(tot[s])
+        copies = math.floor(rate)
+        plan[s] = (copies, math.floor((rate - copies) * 9007199254740992.0))
+    out = []
+    for i, s, n in rows:
+        if s not in plan:
+            continue
+        copies, thr = plan[s]
+        cnt = copies + (1 if (xxh64_long(i, 42) >> 11) < thr else 0)
+        out.extend((i, s, n, e) for e in range(cnt))
+    return pd.DataFrame(out, columns=["doc_id", "source", "n_chars", "epoch"])
+
+def supp_kmv_jaccard(con, k=64):
+    """Exact port of graft.agg.Sketches.kmvJaccardPairs over kmvSketchBy
+    token sketches as pinned at the q_kmv_jaccard call site: per-source
+    bottom-k of XXH64(seed 42) over distinct whitespace tokens, then the
+    Beyer et al. combine (U = bottom-k of the union; j_num = |U ∩ A ∩ B|,
+    j_den = |U|), jacc rounded HALF_UP 6dp on the same IEEE division, and
+    the shared (k-1)*2^64/h_k union estimator rounded 2dp."""
+    import decimal
+    rows = con.execute(
+        "SELECT DISTINCT source, text FROM documents WHERE text IS NOT NULL"
+    ).fetchall()
+    toks = {}
+    for g, t in rows:
+        toks.setdefault(g, set()).update(t.split())
+    sketch = {g: sorted({xxh64_bytes(w.encode("utf-8"), 42) for w in ws})[:k]
+              for g, ws in toks.items()}
+    out = []
+    for g1 in sorted(sketch):
+        for g2 in sorted(sketch):
+            if not g1 < g2:
+                continue
+            a, b = set(sketch[g1]), set(sketch[g2])
+            u = sorted(a | b)[:k]
+            num = sum(1 for h in u if h in a and h in b)
+            den = len(u)
+            jacc = float(decimal.Decimal(repr(num / den)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP))
+            est = float(den) if den < k else \
+                (k - 1) * 1.8446744073709552e19 / _kth_denominator(u[-1])
+            est2 = float(decimal.Decimal(repr(est)).quantize(
+                decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP))
+            out.append((g1, g2, num, den, jacc, est2))
+    return pd.DataFrame(
+        out, columns=["g1", "g2", "j_num", "j_den", "jacc", "est_union"])
+
 SUPPLEMENTARY = {
+    "q_split_assign": supp_split_assign,
+    "q_stratified_sample": supp_stratified_sample,
+    "q_mixture_epochs": supp_mixture_epochs,
+    "q_kmv_jaccard": supp_kmv_jaccard,
     "q_domain_mix": supp_domain_mix,
     "q_kmv_distinct": supp_kmv_distinct,
     "q_kmv_grouped": supp_kmv_grouped,
