@@ -859,6 +859,16 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
     },
 
+    // deterministic ring negative sampling for contrastive training: k
+    // hash-ring-following corpus negatives per anchor — reproducible and
+    // join-shaped where ORDER BY rand() is neither. k mirrored at the
+    // HashOracleSql.qNegativeSampleSql call site.
+    "q_negative_sample" -> { (s, dir) =>
+      Preprocessing.negativeSample(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id"),
+        "doc_id", k = 5)
+    },
+
     // epoch-aware deterministic upsampling (the uncapped half of the mixing
     // law): scarce high-weight domains repeat floor(rate) times plus a
     // hash-gated fractional epoch. Weights/budget mirrored at the
@@ -2498,6 +2508,9 @@ object SparkEntry {
       "documents", "doc_id", "source", "n_chars",
       Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 5.0),
       budget = 4000L),
+
+    "q_negative_sample" -> graft.oracle.HashOracleSql.qNegativeSampleSql(
+      "documents", "doc_id", k = 5),
 
     "q_mixture_epochs" -> graft.oracle.HashOracleSql.qMixtureUpsampleSql(
       "documents", "doc_id", "source", "n_chars",

@@ -325,6 +325,42 @@ object Preprocessing {
       .drop("__h", "__gr", "__r0")
   }
 
+  /** Deterministic RING negative sampling — k pseudo-random corpus
+    * negatives per anchor, the draw every contrastive/embedding training
+    * pipeline needs and a naive `ORDER BY rand()` cannot give (neither
+    * reproducible nor join-free). Place every row on a ring ordered by
+    * (unsigned xxhash64(id), id); anchor a's negatives are the k rows that
+    * FOLLOW it (wrapping mod N) — uniform over the corpus because hash
+    * order is unrelated to any data attribute, deterministic, and
+    * re-runnable. Known caveat, stated plainly: hash-adjacent anchors share
+    * most of their negative sets (consistent-hashing locality) — fine for
+    * in-batch-negative-style training, not a k-wise-independent sample.
+    *
+    * Scale shape: one distributed range sort (the ring rank via
+    * [[graft.util.Rank.globalRowNumber]] — never a single-task window), a
+    * k-bounded explode, and ONE equi-join on the slim (rank) key; no
+    * all-pairs anything. Output: (anchor_id, neg_rank 1..k, neg_id).
+    */
+  def negativeSample(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "negativeSample needs k >= 1")
+    val keyed = df.select(col(idCol))
+      .withColumn("__h", xxhash64(col(idCol)).bitwiseXOR(lit(Long.MinValue)))
+    val (ranked0, total) = graft.util.Rank.globalRowNumber(keyed,
+      Seq(col("__h").asc, col(idCol).asc), "__r")
+    require(total > k,
+      s"negativeSample needs > k=$k rows to avoid self-pairs (got $total)")
+    val ranked = ranked0.drop("__h")
+    val anchors = ranked.select(col(idCol).as("anchor_id"), col("__r"))
+      .withColumn("neg_rank", explode(sequence(lit(1L), lit(k.toLong))))
+      .withColumn("__nr", ((col("__r") + col("neg_rank") - 1L) % total) + 1L)
+      .drop("__r")
+    anchors
+      .join(ranked.select(col(idCol).as("neg_id"), col("__r").as("__nr")),
+        Seq("__nr"))
+      .select(col("anchor_id"), col("neg_rank").cast("int").as("neg_rank"),
+        col("neg_id"))
+  }
+
   /** Deterministic EPOCH-AWARE domain mixing — the other half of
     * [[mixtureSample]] (whose rate caps at 1): pretraining mixes UPSAMPLE
     * scarce high-weight domains by repeating them fractional-epoch-many

@@ -332,6 +332,28 @@ object HashOracleSql {
        |FROM agg""".stripMargin
   }
 
+  /** q_negative_sample: deterministic ring negative sampling
+    * ([[graft.agg.Preprocessing.negativeSample]]) re-derived. Ring rank =
+    * row_number over (unsigned xxhash64(id), id) — the window over the full
+    * table is the oracle's prerogative (Spark uses the distributed rank) —
+    * and each anchor joins the k following ring positions mod N.
+    */
+  def qNegativeSampleSql(table: String, idCol: String, k: Int): String = {
+    val hashed = nest(
+      s"SELECT $idCol, ((CAST($idCol AS HUGEINT) + $M) & $MASK) AS idh FROM $table",
+      hashLongSteps("idh", "CAST(42 AS HUGEINT)", "h"))
+    s"""WITH rk AS (
+       |  SELECT $idCol,
+       |         CAST(row_number() OVER (ORDER BY hf, $idCol) AS BIGINT) AS r,
+       |         CAST(count(*) OVER () AS BIGINT) AS n
+       |  FROM ($hashed)),
+       |ex AS (SELECT $idCol AS anchor_id, CAST(t.j AS INT) AS neg_rank,
+       |              ((r + t.j - 1) % n) + 1 AS nr
+       |       FROM rk, range(1, $k + 1) t(j))
+       |SELECT e.anchor_id, e.neg_rank, rk.$idCol AS neg_id
+       |FROM ex e JOIN rk ON rk.r = e.nr""".stripMargin
+  }
+
   /** q_mixture_epochs: epoch-aware deterministic upsampling
     * ([[graft.agg.Preprocessing.mixtureUpsample]]) re-derived. The per-domain
     * rate is the SAME double chain as [[qDomainMixSql]] but UNCAPPED:

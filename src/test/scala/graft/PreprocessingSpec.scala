@@ -174,4 +174,33 @@ class PreprocessingSpec extends AnyFunSuite {
     val sg = Preprocessing.sigmoidNonzero(cv).select("cnt_sigmoid").as[Double].collect()
     sg.foreach(v => assert(v > 0.5 && v < 1.0))
   }
+
+  test("negativeSample: exact ring semantics, partition-independent, no self-pairs") {
+    val df = (1L to 40L).toDF("id")
+    val k = 4
+    // expected ring recomputed driver-side from Spark's own hashes
+    val ring = df.select(col("id"),
+        xxhash64(col("id")).bitwiseXOR(lit(Long.MinValue)).as("h"))
+      .as[(Long, Long)].collect().sortBy(r => (r._2, r._1)).map(_._1)
+    val n = ring.length
+    val expected = (for {
+      (a, i) <- ring.zipWithIndex
+      j <- 1 to k
+    } yield (a, j, ring((i + j) % n))).toSet
+    def run(in: org.apache.spark.sql.DataFrame) =
+      Preprocessing.negativeSample(in, "id", k)
+        .as[(Long, Int, Long)].collect().toSet
+    val got = run(df)
+    assert(got === expected)
+    assert(got.forall { case (a, _, neg) => a != neg })
+    assert(run(df.repartition(9, col("id"))) === got)
+    // equi-join only — no all-pairs plan shape
+    val plan = Preprocessing.negativeSample(df, "id", k)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs shape:\n$plan")
+    intercept[IllegalArgumentException] {
+      Preprocessing.negativeSample((1L to 3L).toDF("id"), "id", 3)
+    }
+  }
 }

@@ -637,7 +637,21 @@ def supp_kmv_jaccard(con, k=64):
     return pd.DataFrame(
         out, columns=["g1", "g2", "j_num", "j_den", "jacc", "est_union"])
 
+def supp_negative_sample(con, k=5):
+    """Exact port of graft.agg.Preprocessing.negativeSample as pinned at the
+    q_negative_sample call site: ring order (unsigned xxh64(doc_id, 42),
+    doc_id); negatives = the k following ring positions mod N."""
+    rows = con.execute("SELECT doc_id FROM documents").fetchall()
+    ring = sorted((xxh64_long(i, 42), i) for (i,) in rows)
+    ids = [i for _, i in ring]
+    n = len(ids)
+    out = []
+    for pos, a in enumerate(ids):
+        out.extend((a, j, ids[(pos + j) % n]) for j in range(1, k + 1))
+    return pd.DataFrame(out, columns=["anchor_id", "neg_rank", "neg_id"])
+
 SUPPLEMENTARY = {
+    "q_negative_sample": supp_negative_sample,
     "q_split_assign": supp_split_assign,
     "q_stratified_sample": supp_stratified_sample,
     "q_mixture_epochs": supp_mixture_epochs,
