@@ -142,7 +142,10 @@ object Bench {
       // late-round-6 operators (baselines start this round)
       ("kmv_jaccard",      SparkEntry.queries("q_kmv_jaccard"),      2),
       ("stratified_sample", SparkEntry.queries("q_stratified_sample"), 2),
-      ("split_assign",     SparkEntry.queries("q_split_assign"),     2)
+      ("split_assign",     SparkEntry.queries("q_split_assign"),     2),
+      ("mixture_epochs",   SparkEntry.queries("q_mixture_epochs"),   2),
+      ("negative_sample",  SparkEntry.queries("q_negative_sample"),  2),
+      ("weighted_sample",  SparkEntry.queries("q_weighted_sample"),  2)
     )
     // best-of-N minimum = the least-interfered estimate on a host with 2-3×
     // CPU-steal storms (see BASELINE.md methodology)

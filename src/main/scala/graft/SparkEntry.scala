@@ -859,6 +859,27 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
     },
 
+    // per-row-rate deterministic sampling (soft quality filtering): keep
+    // probability = min-max-normalized classifier score, decided by the
+    // content-stable hash gate — every rate operand is an exact integer so
+    // the whole selection is cross-engine exact. Classifier constants
+    // mirrored at the qWeightedSampleSql call site.
+    "q_weighted_sample" -> { (s, dir) =>
+      val scored = graft.text.Classifier.hashedLinearScore(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .select("doc_id", "score_micro")
+      val stats = scored.agg(min("score_micro").as("__mn"),
+        max("score_micro").as("__mx"))
+      val rated = scored.crossJoin(broadcast(stats))
+        .withColumn("__rate",
+          when(col("__mx") > col("__mn"),
+            (col("score_micro") - col("__mn")).cast("double") /
+              (col("__mx") - col("__mn")).cast("double"))
+            .otherwise(lit(1.0)))
+      Preprocessing.weightedSample(rated, "doc_id", "__rate")
+        .select("doc_id", "score_micro")
+    },
+
     // deterministic ring negative sampling for contrastive training: k
     // hash-ring-following corpus negatives per anchor — reproducible and
     // join-shaped where ORDER BY rand() is neither. k mirrored at the
@@ -2511,6 +2532,12 @@ object SparkEntry {
 
     "q_negative_sample" -> graft.oracle.HashOracleSql.qNegativeSampleSql(
       "documents", "doc_id", k = 5),
+
+    "q_weighted_sample" -> graft.oracle.HashOracleSql.qWeightedSampleSql(
+      "documents", "doc_id", "text",
+      numBuckets = graft.text.Classifier.numBuckets,
+      weightMul = graft.text.Classifier.weightMul,
+      weightMod = graft.text.Classifier.weightMod),
 
     "q_mixture_epochs" -> graft.oracle.HashOracleSql.qMixtureUpsampleSql(
       "documents", "doc_id", "source", "n_chars",

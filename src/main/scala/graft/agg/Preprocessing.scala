@@ -325,6 +325,23 @@ object Preprocessing {
       .drop("__h", "__gr", "__r0")
   }
 
+  /** Per-ROW deterministic weighted sampling — soft quality filtering
+    * (RefinedWeb-style): keep each row with probability `rateCol` (clamped
+    * to [0,1]), decided by the SAME content-stable hash gate as
+    * [[mixtureSample]] — `xxhash64(id) >>> 11 < floor(clamp01(rate)·2^53)`
+    * — so the keep set is reproducible, partition-independent, and
+    * monotone per row (raising a row's rate can only flip drop→keep, which
+    * makes threshold sweeps consistent). Callers compute `rateCol` however
+    * they like (e.g. a normalized classifier score — q_weighted_sample);
+    * when the rate arithmetic is engine-exact the whole selection is.
+    *
+    * Scale shape: ONE map-only filter, zero shuffle, zero state.
+    */
+  def weightedSample(df: DataFrame, idCol: String, rateCol: String): DataFrame =
+    df.filter(shiftrightunsigned(xxhash64(col(idCol)), 11) <
+      floor(least(lit(1.0), greatest(lit(0.0), col(rateCol)))
+        * lit(9007199254740992.0)).cast("long")) // 2^53
+
   /** Deterministic RING negative sampling — k pseudo-random corpus
     * negatives per anchor, the draw every contrastive/embedding training
     * pipeline needs and a naive `ORDER BY rand()` cannot give (neither

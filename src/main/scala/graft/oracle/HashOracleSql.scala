@@ -332,6 +332,42 @@ object HashOracleSql {
        |FROM agg""".stripMargin
   }
 
+  /** q_weighted_sample: per-row-rate deterministic sampling
+    * ([[graft.agg.Preprocessing.weightedSample]] over a min-max-normalized
+    * [[graft.text.Classifier.hashedLinearScore]]) re-derived. The rate is
+    * ALL-EXACT inputs through correctly-rounded double ops on both engines
+    * (BIGINT score minus BIGINT min, divided by the BIGINT range — every
+    * operand exact, one division, one multiply, one floor), and the keep
+    * gate replays the xxhash64 top-53-bit compare. The classifier CTE chain
+    * is [[qQualityClassifierSql]] verbatim as a derived table (empty docs
+    * drop on both engines — zero-feature rows never score).
+    */
+  def qWeightedSampleSql(table: String, idCol: String, textCol: String,
+                         numBuckets: Int, weightMul: Long,
+                         weightMod: Long): String = {
+    val cls = qQualityClassifierSql(table, idCol, textCol, numBuckets,
+      weightMul, weightMod)
+    val hashed = nest(
+      s"SELECT $idCol AS hid, ((CAST($idCol AS HUGEINT) + $M) & $MASK) AS idh" +
+        s" FROM $table",
+      hashLongSteps("idh", "CAST(42 AS HUGEINT)", "h"))
+    s"""WITH cls AS (SELECT * FROM ($cls) q),
+       |st AS (SELECT CAST(min(score_micro) AS BIGINT) AS mn,
+       |              CAST(max(score_micro) AS BIGINT) AS mx FROM cls),
+       |rt AS (SELECT cls.$idCol, cls.score_micro,
+       |         CASE WHEN st.mx > st.mn
+       |              THEN CAST(cls.score_micro - st.mn AS DOUBLE) /
+       |                   CAST(st.mx - st.mn AS DOUBLE)
+       |              ELSE CAST(1.0 AS DOUBLE) END AS rate
+       |       FROM cls, st),
+       |hx AS (SELECT hid, (hf >> 11) AS top53 FROM ($hashed))
+       |SELECT rt.$idCol, rt.score_micro
+       |FROM rt JOIN hx ON hx.hid = rt.$idCol
+       |WHERE hx.top53 < CAST(CAST(floor(
+       |  least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE), rt.rate))
+       |  * 9007199254740992.0) AS BIGINT) AS HUGEINT)""".stripMargin
+  }
+
   /** q_negative_sample: deterministic ring negative sampling
     * ([[graft.agg.Preprocessing.negativeSample]]) re-derived. Ring rank =
     * row_number over (unsigned xxhash64(id), id) — the window over the full

@@ -175,6 +175,33 @@ class PreprocessingSpec extends AnyFunSuite {
     sg.foreach(v => assert(v > 0.5 && v < 1.0))
   }
 
+  test("weightedSample: clamp edges, per-row monotonicity, same gate as mixtureSample, map-only") {
+    val df = (1L to 500L).toDF("id")
+    def kept(rate: org.apache.spark.sql.Column) =
+      Preprocessing.weightedSample(df.withColumn("r", rate), "id", "r")
+        .select("id").as[Long].collect().toSet
+    assert(kept(lit(0.0)) === Set.empty[Long])
+    assert(kept(lit(-3.0)) === Set.empty[Long], "negative rates clamp to 0")
+    assert(kept(lit(1.0)).size === 500)
+    assert(kept(lit(7.0)).size === 500, "rates above 1 clamp to 1")
+    // monotone per row: a higher rate keeps a superset
+    val lo = kept(lit(0.2)); val hi = kept(lit(0.7))
+    assert(lo.subsetOf(hi))
+    assert(lo.size > 40 && lo.size < 160, s"0.2-rate kept ${lo.size}/500")
+    // the gate IS mixtureSample's: uniform rate r == a one-domain mixture
+    // whose w*budget/tot lands on the same threshold
+    val mix = Preprocessing.mixtureSample(
+        df.withColumn("d", lit("x")).withColumn("tok", lit(1L)),
+        "id", "d", "tok", Map("x" -> 1.0), budget = 100L) // rate 100/500 = 0.2
+      .select("id").as[Long].collect().toSet
+    assert(mix === lo)
+    // map-only: no exchange introduced by the sampler itself
+    val plan = Preprocessing.weightedSample(
+        df.withColumn("r", lit(0.5)), "id", "r")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"weightedSample must not shuffle:\n$plan")
+  }
+
   test("negativeSample: exact ring semantics, partition-independent, no self-pairs") {
     val df = (1L to 40L).toDF("id")
     val k = 4
