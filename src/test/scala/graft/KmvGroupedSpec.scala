@@ -140,6 +140,19 @@ class KmvGroupedSpec extends AnyFunSuite {
     assert(math.abs(ad._5 - 0.333333) < 1e-9)
   }
 
+  test("kmvJaccardPairs plan: pair join is broadcast over GROUP rows, sketch agg stays bounded") {
+    val df = (0 until 600).map(i => (s"g${i % 5}", s"v${i % 97}")).toDF("g", "v")
+    val plan = Sketches.kmvJaccardPairs(
+        Sketches.kmvSketchBy(df, Seq("g"), "v", 16), "g", "kmv_sketch", 16)
+      .queryExecution.executedPlan.toString
+    // the only acceptable nested-loop is over the one-row-per-GROUP sketch
+    // side (g1 < g2 is a non-equi pair join by design) — and it must be
+    // broadcast, never a shuffled cartesian over row-level data
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"expected broadcast pair join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"shuffled cartesian crept in:\n$plan")
+    assert(plan.contains("graft_kmv"), s"bounded sketch aggregate missing:\n$plan")
+  }
+
   test("kmvJaccardPairs above k: j_den capped at k, estimator tracks true union") {
     val df = (
       (0 until 400).map(i => ("x", s"v$i")) ++

@@ -182,6 +182,15 @@ class LmMixSpec extends AnyFunSuite {
     assert(ex.getMessage != null && ex.getMessage.contains("maxEpochs"))
   }
 
+  test("mixtureUpsample plan: corpus side joins broadcast, no sort-merge join") {
+    val df = (1L to 400L).map(i => (i, s"d${i % 3}", 2L)).toDF("id", "d", "tok")
+    val plan = Preprocessing.mixtureUpsample(df, "id", "d", "tok",
+        Map("d0" -> 1.0, "d1" -> 0.5), 300L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+
   test("splitByHash: total, content-stable under growth/partitioning, map-only") {
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val small = (1L to 2000L).toDF("id")
