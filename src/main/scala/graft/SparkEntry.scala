@@ -165,6 +165,14 @@ object SparkEntry {
           array_join(col("history"), " ").as("history"), col("next_event"))
     },
 
+    // chat SFT pair mining over transcripts — the LLM-training extract: one
+    // (context, response) pair per assistant turn, context = up to 4
+    // preceding turns rendered "role: text", newline-joined oldest-first;
+    // empty-context pairs dropped. h mirrored in the oracle frame.
+    "q_sft_pairs" -> { (s, dir) =>
+      Windows.sftPairs(transcripts(s, dir), h = 4)
+    },
+
     // W2 — time-based sliding windows (size 600s, step 300s).
     "q_time_window" -> { (s, dir) =>
       Windows.timeWindows(parsed(s, dir), sizeSec = 600, stepSec = 300)
@@ -1324,6 +1332,16 @@ object SparkEntry {
         |  FROM rns, range(0, 2) t(k))
         |WHERE win_start >= 0 AND rn < win_start + 4
         |GROUP BY conv_id, win_start""".stripMargin),
+
+    "q_sft_pairs" -> withT(
+      """, ctx AS (
+        |  SELECT conv_id, turn_idx, role, text,
+        |         array_to_string(list(role || ': ' || text) OVER (
+        |           PARTITION BY conv_id ORDER BY turn_idx
+        |           ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING), chr(10)) AS context
+        |  FROM transcripts)
+        |SELECT conv_id, turn_idx, context, text AS response
+        |FROM ctx WHERE role = 'assistant' AND length(context) > 0""".stripMargin),
 
     "q_history" -> withP(
       """SELECT conv_id, turn_idx, history, next_event FROM (

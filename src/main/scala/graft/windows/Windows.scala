@@ -164,6 +164,30 @@ object Windows {
       .filter(size(col("history")) === h && col("next_event").isNotNull)
   }
 
+  /** Chat SFT pair mining — the transcripts-native training-data extract:
+    * one (context, response) pair per `responseRole` turn, where context =
+    * the up-to-`h` immediately preceding turns rendered `role: text` and
+    * newline-joined oldest-first, and response = the turn's own text. Pairs
+    * with an EMPTY context are dropped (a response with no prompt teaches
+    * nothing). Deterministic: the frame order is the conversation's pinned
+    * (conv_id, turn_idx) order, never arrival order.
+    *
+    * Scale shape: pure window-frame ops inside the conv_id partition — one
+    * conv exchange, no explode, no join; conversations bound the frame (the
+    * same argument as every W-family operator here).
+    */
+  def sftPairs(df: DataFrame, h: Int,
+               responseRole: String = "assistant"): DataFrame = {
+    require(h >= 1, "sftPairs needs h >= 1 context turns")
+    val frame = convW.rowsBetween(-h, -1)
+    df.withColumn("context",
+        array_join(collect_list(
+          concat(col("role"), lit(": "), col("text"))).over(frame), "\n"))
+      .filter(col("role") === responseRole && length(col("context")) > 0)
+      .select(col("conv_id"), col("turn_idx"), col("context"),
+        col("text").as("response"))
+  }
+
   /** W7 — deltaT: seconds between consecutive turns, first of conversation
     * forced 0 (dataset/data_process.py:97-98). Exact integer microseconds.
     */

@@ -151,4 +151,27 @@ class WindowsSpec extends AnyFunSuite {
     val lens = a.groupBy("conv_id").count().select("count").as[Long].collect()
     assert(lens.max > 10 * (lens.sum / lens.length)) // heavy tail present
   }
+
+  test("sftPairs: exact contexts oldest-first, frame cap, first-turn drop, partition invariance") {
+    val t = Seq(
+      ("c1", 0, "user", "hi"),
+      ("c1", 1, "assistant", "hello"),
+      ("c1", 2, "user", "do thing"),
+      ("c1", 3, "tool", "result 7"),
+      ("c1", 4, "assistant", "done"),
+      ("c2", 0, "assistant", "orphan"), // no context -> dropped
+      ("c2", 1, "user", "ok"),
+      ("c2", 2, "assistant", "ack")
+    ).toDF("conv_id", "turn_idx", "role", "text")
+    def run(in: org.apache.spark.sql.DataFrame) =
+      Windows.sftPairs(in, h = 2)
+        .as[(String, Int, String, String)].collect().sortBy(r => (r._1, r._2))
+    val got = run(t)
+    assert(got === Array(
+      ("c1", 1, "user: hi", "hello"),
+      // h = 2 caps the frame: turn 4 sees turns 2..3 only, oldest first
+      ("c1", 4, "user: do thing\ntool: result 7", "done"),
+      ("c2", 2, "assistant: orphan\nuser: ok", "ack")))
+    assert(run(t.repartition(7, col("turn_idx"))) === got)
+  }
 }
