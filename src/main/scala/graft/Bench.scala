@@ -146,7 +146,8 @@ object Bench {
       ("mixture_epochs",   SparkEntry.queries("q_mixture_epochs"),   2),
       ("negative_sample",  SparkEntry.queries("q_negative_sample"),  2),
       ("weighted_sample",  SparkEntry.queries("q_weighted_sample"),  2),
-      ("sft_pairs",        SparkEntry.queries("q_sft_pairs"),        2)
+      ("sft_pairs",        SparkEntry.queries("q_sft_pairs"),        2),
+      ("sft_budget",       SparkEntry.queries("q_sft_budget"),       2)
     )
     // best-of-N minimum = the least-interfered estimate on a host with 2-3×
     // CPU-steal storms (see BASELINE.md methodology)

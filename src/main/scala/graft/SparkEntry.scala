@@ -173,6 +173,20 @@ object SparkEntry {
       Windows.sftPairs(transcripts(s, dir), h = 4)
     },
 
+    // loss-mask rendering of the SFT pairs: one training document per pair
+    // plus the 1-based response span (train-on-response-only masking).
+    "q_sft_render" -> { (s, dir) =>
+      Windows.sftRender(Windows.sftPairs(transcripts(s, dir), h = 4))
+    },
+
+    // SFT pairs under a context token budget: the maximal most-recent
+    // suffix of the h-frame whose rendered-turn token total fits. h/budget
+    // mirrored in the oracle; budget=18 forces real truncation (turns run
+    // ~6-10 tokens on this corpus).
+    "q_sft_budget" -> { (s, dir) =>
+      Windows.sftPairsBudget(transcripts(s, dir), h = 4, budget = 18L)
+    },
+
     // W2 — time-based sliding windows (size 600s, step 300s).
     "q_time_window" -> { (s, dir) =>
       Windows.timeWindows(parsed(s, dir), sizeSec = 600, stepSec = 300)
@@ -1342,6 +1356,49 @@ object SparkEntry {
         |  FROM transcripts)
         |SELECT conv_id, turn_idx, context, text AS response
         |FROM ctx WHERE role = 'assistant' AND length(context) > 0""".stripMargin),
+
+    "q_sft_render" -> withT(
+      """, ctx AS (
+        |  SELECT conv_id, turn_idx, role, text,
+        |         array_to_string(list(role || ': ' || text) OVER (
+        |           PARTITION BY conv_id ORDER BY turn_idx
+        |           ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING), chr(10)) AS context
+        |  FROM transcripts),
+        |pairs AS (SELECT conv_id, turn_idx, context, text AS response
+        |          FROM ctx WHERE role = 'assistant' AND length(context) > 0)
+        |SELECT conv_id, turn_idx,
+        |       context || chr(10) || 'assistant: ' || response AS rendered,
+        |       CAST(length(context) + 13 AS BIGINT) AS mask_start,
+        |       CAST(length(response) AS BIGINT) AS mask_len
+        |FROM pairs""".stripMargin),
+
+    "q_sft_budget" -> withT(
+      """, ctx AS (
+        |  SELECT conv_id, turn_idx, role, text,
+        |         list(role || ': ' || text) OVER (
+        |           PARTITION BY conv_id ORDER BY turn_idx
+        |           ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS turns
+        |  FROM transcripts),
+        |resp AS (SELECT conv_id, turn_idx, text AS response, turns
+        |         FROM ctx WHERE role = 'assistant' AND len(turns) > 0),
+        |tc0 AS (SELECT conv_id, turn_idx, response,
+        |          generate_subscripts(turns, 1) AS i, unnest(turns) AS ts
+        |        FROM resp),
+        |tc AS (SELECT conv_id, turn_idx, response, i, ts,
+        |         CAST(len(list_filter(regexp_split_to_array(trim(ts),
+        |           '\s+'), x -> x <> '')) AS BIGINT) AS c
+        |       FROM tc0),
+        |sfx AS (SELECT *, sum(c) OVER (PARTITION BY conv_id, turn_idx
+        |          ORDER BY i DESC) AS sufsum FROM tc),
+        |kept AS (SELECT * FROM sfx WHERE sufsum <= 18),
+        |agg AS (SELECT conv_id, turn_idx,
+        |          string_agg(ts, chr(10) ORDER BY i) AS context,
+        |          CAST(count(*) AS INT) AS ctx_turns,
+        |          CAST(sum(c) AS BIGINT) AS ctx_tokens
+        |        FROM kept GROUP BY 1, 2)
+        |SELECT a.conv_id, a.turn_idx, a.context, r.response,
+        |       a.ctx_turns, a.ctx_tokens
+        |FROM agg a JOIN resp r USING (conv_id, turn_idx)""".stripMargin),
 
     "q_history" -> withP(
       """SELECT conv_id, turn_idx, history, next_event FROM (

@@ -188,6 +188,67 @@ object Windows {
         col("text").as("response"))
   }
 
+  /** [[sftPairs]] under a CONTEXT TOKEN BUDGET — the constraint every SFT
+    * pipeline actually trains under: keep the MAXIMAL contiguous suffix of
+    * the h-frame context turns (most recent first) whose total token count
+    * fits `budget`, where a turn's tokens = NONEMPTY whitespace tokens of
+    * its rendered `role: text` string (the q_concat_chunks counting rule).
+    * Suffix sums are monotone, so "greedy from the end with a stop flag"
+    * (the in-row fold here) and "all positions whose end-anchored running
+    * sum fits" (the oracle's DESC window cumsum) are the same set. Pairs
+    * whose budget fits not even the latest turn drop (empty context teaches
+    * nothing — same rule as [[sftPairs]]).
+    *
+    * Scale shape: one conv exchange for the frame, then everything is
+    * IN-ROW over the ≤h-element turn array (fold + slice) — no explode, no
+    * second shuffle. Output adds `ctx_turns` / `ctx_tokens` for auditing.
+    */
+  def sftPairsBudget(df: DataFrame, h: Int, budget: Long,
+                     responseRole: String = "assistant"): DataFrame = {
+    require(h >= 1, "sftPairsBudget needs h >= 1 context turns")
+    require(budget >= 1, "sftPairsBudget needs a positive token budget")
+    val turn = concat(col("role"), lit(": "), col("text"))
+    val tcnt = size(filter(split(trim(turn), "\\s+"), w => w =!= lit("")))
+    val frame = convW.rowsBetween(-h, -1)
+    val withTurns = df
+      .withColumn("__turns",
+        collect_list(struct(tcnt.as("c"), turn.as("t"))).over(frame))
+      .filter(col("role") === responseRole && size(col("__turns")) > 0)
+    val fold = aggregate(
+      reverse(col("__turns.c")),
+      struct(lit(0L).as("s"), lit(0).as("m"), lit(false).as("stop")),
+      (acc, c) => when(acc("stop") || acc("s") + c > budget,
+          struct(acc("s").as("s"), acc("m").as("m"), lit(true).as("stop")))
+        .otherwise(struct((acc("s") + c).as("s"), (acc("m") + 1).as("m"),
+          lit(false).as("stop"))))
+    withTurns.withColumn("__agg", fold)
+      .withColumn("ctx_turns", col("__agg.m"))
+      .withColumn("ctx_tokens", col("__agg.s"))
+      .filter(col("ctx_turns") > 0)
+      .select(col("conv_id"), col("turn_idx"),
+        array_join(slice(col("__turns.t"),
+          size(col("__turns")) - col("ctx_turns") + 1, col("ctx_turns")),
+          "\n").as("context"),
+        col("text").as("response"), col("ctx_turns"), col("ctx_tokens"))
+  }
+
+  /** Loss-mask rendering of [[sftPairs]] output — the train-on-response-only
+    * annotation every SFT pipeline needs: one training document per pair,
+    * `rendered = context \n role: response`, plus the 1-based character span
+    * of the response within it (`mask_start`, `mask_len`) so the trainer can
+    * zero the loss on everything before it. Pure projections — map-only,
+    * exact on both engines (the corpus is printable ASCII, where JVM UTF-16
+    * length == SQL char length).
+    */
+  def sftRender(pairs: DataFrame,
+                responseRole: String = "assistant"): DataFrame =
+    pairs.select(col("conv_id"), col("turn_idx"),
+      concat(col("context"), lit("\n"), lit(s"$responseRole: "),
+        col("response")).as("rendered"),
+      (length(col("context")) + lit(responseRole.length + 4)).cast("long")
+        .as("mask_start"), // +1 newline +2 ": " +1 one-based
+      length(col("response")).cast("long").as("mask_len"))
+
   /** W7 — deltaT: seconds between consecutive turns, first of conversation
     * forced 0 (dataset/data_process.py:97-98). Exact integer microseconds.
     */

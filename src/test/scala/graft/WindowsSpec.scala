@@ -174,4 +174,48 @@ class WindowsSpec extends AnyFunSuite {
       ("c2", 2, "assistant: orphan\nuser: ok", "ack")))
     assert(run(t.repartition(7, col("turn_idx"))) === got)
   }
+
+  test("sftRender: mask span addresses exactly the response characters") {
+    val t = Seq(
+      ("c1", 0, "user", "hi there"),
+      ("c1", 1, "assistant", "hello world")
+    ).toDF("conv_id", "turn_idx", "role", "text")
+    val r = Windows.sftRender(Windows.sftPairs(t, h = 2))
+      .select("rendered", "mask_start", "mask_len")
+      .as[(String, Long, Long)].collect()
+    assert(r.length === 1)
+    val (rendered, start, len) = r.head
+    assert(rendered === "user: hi there\nassistant: hello world")
+    // the span extracts the response exactly (1-based substring)
+    assert(rendered.substring(start.toInt - 1, start.toInt - 1 + len.toInt)
+      === "hello world")
+    assert(start.toInt - 1 + len.toInt === rendered.length,
+      "response is the rendered suffix")
+  }
+
+  test("sftPairsBudget: maximal suffix under the token budget, exact boundaries, empty drop") {
+    // rendered-turn token counts: 3, 4, 5, 2 (role prefix counts as a token)
+    val t = Seq(
+      ("c1", 0, "user", "a b"),
+      ("c1", 1, "tool", "a b c"),
+      ("c1", 2, "user", "a b c d"),
+      ("c1", 3, "tool", "x"),
+      ("c1", 4, "assistant", "done")
+    ).toDF("conv_id", "turn_idx", "role", "text")
+    def run(budget: Long) =
+      Windows.sftPairsBudget(t, h = 4, budget = budget)
+        .select("context", "ctx_turns", "ctx_tokens")
+        .as[(String, Int, Long)].collect()
+    assert(run(2L) === Array(("tool: x", 1, 2L)))
+    assert(run(7L) === Array(("user: a b c d\ntool: x", 2, 7L))) // exact fit
+    assert(run(8L) === Array(("user: a b c d\ntool: x", 2, 7L))) // 4 more won't fit
+    val all = run(100L)
+    assert(all === Array(
+      ("user: a b\ntool: a b c\nuser: a b c d\ntool: x", 4, 14L)))
+    assert(run(1L).isEmpty, "budget below the latest turn drops the pair")
+    // h caps the frame before the budget does
+    val capped = Windows.sftPairsBudget(t, h = 2, budget = 100L)
+      .select("ctx_turns", "ctx_tokens").as[(Int, Long)].collect()
+    assert(capped === Array((2, 7L)))
+  }
 }
