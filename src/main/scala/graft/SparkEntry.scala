@@ -480,6 +480,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_in_window"))
     },
 
+    // corpus release diff: two deterministic snapshots derived from the one
+    // documents table (old = id%7!=0; new = id%5!=0 with text mutated at
+    // id%11==0), classified added/removed/changed by content fingerprint.
+    // The snapshot derivations are mirrored verbatim in the oracle SQL.
+    "q_snapshot_diff" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      graft.dedup.Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+    },
+
     // KMV bottom-k distinct sketch over document texts — deterministic by
     // design so the DuckDB oracle recomputes it EXACTLY (unlike HLL).
     "q_kmv_distinct" -> { (s, dir) =>
@@ -2642,6 +2657,22 @@ object SparkEntry {
       numBuckets = graft.text.Classifier.numBuckets,
       weightMul = graft.text.Classifier.weightMul,
       weightMod = graft.text.Classifier.weightMod),
+
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS ofp FROM documents
+        |           WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+        |                 ELSE text END) AS nfp
+        |      FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT doc_id,
+        |       CASE WHEN ofp IS NULL THEN 'added'
+        |            WHEN nfp IS NULL THEN 'removed'
+        |            WHEN ofp <> nfp THEN 'changed' END AS status
+        |FROM o FULL OUTER JOIN n USING (doc_id)
+        |WHERE (CASE WHEN ofp IS NULL THEN 'added'
+        |            WHEN nfp IS NULL THEN 'removed'
+        |            WHEN ofp <> nfp THEN 'changed' END) IS NOT NULL""".stripMargin,
 
     "q_kmv_distinct" -> graft.oracle.HashOracleSql.qKmvDistinctSql(
       "documents", "text", k = 64),

@@ -24,6 +24,31 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
 
+  /** Corpus RELEASE DIFF — the bookkeeping op between two snapshots of the
+    * same corpus: classify every id as `added` (new only), `removed` (old
+    * only) or `changed` (present in both with a different content
+    * fingerprint); unchanged ids are dropped, so the output is the small
+    * delta by design. Content identity = md5(text), the same fingerprint
+    * [[exact]] dedups on — a doc counts as changed iff exact-dedup would no
+    * longer collapse its two versions.
+    *
+    * Scale shape: ONE id-keyed full-outer equi-join of slim (id, 16-byte
+    * fingerprint) rows — co-partitionable, no fan-out; at 100 TB both scans
+    * prune to two columns.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol), md5(col(textCol)).as("__ofp"))
+    val n = newDf.select(col(idCol), md5(col(textCol)).as("__nfp"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__ofp").isNull, lit("added"))
+          .when(col("__nfp").isNull, lit("removed"))
+          .when(col("__ofp") =!= col("__nfp"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col(idCol), col("status"))
+  }
+
   /** Word n-gram shingles of `textCol`, distinct per row.
     *
     * The token array is LET-BOUND via `transform(array(split(...)), toks ->

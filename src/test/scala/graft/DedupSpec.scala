@@ -218,4 +218,16 @@ class DedupSpec extends AnyFunSuite {
     assert((brute intersect a).size.toDouble / brute.size >= 0.5)
     assert(ivf() === a) // deterministic across runs
   }
+
+  test("snapshotDiff: added/removed/changed exact, unchanged dropped, equi-join plan") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "c CHANGED"), (4L, "d")).toDF("id", "text")
+    val got = Dedup.snapshotDiff(oldSnap, newSnap, "id", "text")
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "removed"), (3L, "changed"), (4L, "added")))
+    val plan = Dedup.snapshotDiff(oldSnap, newSnap, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"non-equi join shape:\n$plan")
+  }
 }
