@@ -147,7 +147,9 @@ object Bench {
       ("negative_sample",  SparkEntry.queries("q_negative_sample"),  2),
       ("weighted_sample",  SparkEntry.queries("q_weighted_sample"),  2),
       ("sft_pairs",        SparkEntry.queries("q_sft_pairs"),        2),
-      ("sft_budget",       SparkEntry.queries("q_sft_budget"),       2)
+      ("sft_budget",       SparkEntry.queries("q_sft_budget"),       2),
+      ("text_chunks",      SparkEntry.queries("q_text_chunks"),      2),
+      ("snapshot_diff",    SparkEntry.queries("q_snapshot_diff"),    2)
     )
     // best-of-N minimum = the least-interfered estimate on a host with 2-3×
     // CPU-steal storms (see BASELINE.md methodology)

@@ -480,6 +480,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_in_window"))
     },
 
+    // RAG-style per-doc sliding token chunks (size 32, stride 24 → 8-token
+    // overlap): map-only bounded explode. Params mirrored in the oracle.
+    "q_text_chunks" -> { (s, dir) =>
+      graft.agg.Packing.slidingTextChunks(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+        "doc_id", "text", chunkSize = 32, stride = 24)
+    },
+
     // corpus release diff: two deterministic snapshots derived from the one
     // documents table (old = id%7!=0; new = id%5!=0 with text mutated at
     // id%11==0), classified added/removed/changed by content fingerprint.
@@ -2657,6 +2665,21 @@ object SparkEntry {
       numBuckets = graft.text.Classifier.numBuckets,
       weightMul = graft.text.Classifier.weightMul,
       weightMod = graft.text.Classifier.weightMod),
+
+    "q_text_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text),
+        |    '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+        |ch AS (SELECT doc_id, t, n,
+        |         CAST(unnest(range(0, ((n - 1) // 24) + 1)) AS INT) AS chunk_idx
+        |       FROM nz)
+        |SELECT doc_id, chunk_idx,
+        |       array_to_string(t[chunk_idx * 24 + 1 : chunk_idx * 24 + 32],
+        |         ' ') AS chunk,
+        |       CAST(least(n - chunk_idx * 24, 32) AS BIGINT) AS chunk_tokens
+        |FROM ch""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS ofp FROM documents

@@ -93,6 +93,37 @@ object Packing {
     * BIGINT arithmetic (`div`, not double division — safe past 2^53 total
     * tokens).
     */
+  /** RAG-style PER-DOCUMENT sliding token chunks — the retrieval/embedding
+    * prep that [[concatChunks]] (cross-doc epoch packing) and event-sequence
+    * fixLength are not: each document's nonempty whitespace tokens (the
+    * pinned q_concat_chunks counting rule) split into windows of
+    * `chunkSize` tokens starting every `stride` tokens (overlap =
+    * chunkSize - stride), last window short, zero-token docs emit nothing.
+    * chunk_idx is 0-based; starts are every k·stride < n, so every token
+    * lands in ≥1 chunk and the layout is a pure per-row function.
+    *
+    * Scale shape: map-only with a bounded per-row explode
+    * (ceil(n/stride) rows) — no shuffle; chunking 100 TB is exactly one
+    * scan.
+    */
+  def slidingTextChunks(df: DataFrame, idCol: String, textCol: String,
+                        chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, "chunkSize must be positive")
+    require(stride >= 1, "stride must be positive")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), w => w =!= lit(""))
+    df.withColumn("__t", toks)
+      .withColumn("__n", size(col("__t")))
+      .filter(col("__n") > 0)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0),
+          ((col("__n") - 1) / lit(stride)).cast("int"))))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__t"),
+          col("chunk_idx") * stride + 1, lit(chunkSize)), " ").as("chunk"),
+        least(col("__n") - col("chunk_idx") * stride, lit(chunkSize))
+          .cast("long").as("chunk_tokens"))
+  }
+
   def concatChunks(df: DataFrame, idCol: String, tokensCol: String,
                    chunkLen: Long): DataFrame = {
     require(chunkLen > 0, "chunkLen must be positive")

@@ -123,4 +123,24 @@ class PackingSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(out2 === out.toSet)
   }
+
+  test("slidingTextChunks: exact windows with overlap, short tail, empty drop, coverage") {
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, "a b"),                            // one short chunk
+      (3L, "   ")                             // zero tokens -> nothing
+    ).toDF("doc_id", "text")
+    val got = Packing.slidingTextChunks(docs, "doc_id", "text",
+        chunkSize = 4, stride = 3)
+      .as[(Long, Int, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got === Array(
+      (1L, 0, "t0 t1 t2 t3", 4L),
+      (1L, 1, "t3 t4 t5 t6", 4L),
+      (1L, 2, "t6 t7 t8 t9", 4L),
+      (1L, 3, "t9", 1L),
+      (2L, 0, "a b", 2L)))
+    // every token of doc 1 appears in at least one chunk
+    val covered = got.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet
+    assert(covered === (0 until 10).map(i => s"t$i").toSet)
+  }
 }
