@@ -637,6 +637,57 @@ def supp_kmv_jaccard(con, k=64):
     return pd.DataFrame(
         out, columns=["g1", "g2", "j_num", "j_den", "jacc", "est_union"])
 
+def _classifier_scores(con, num_buckets=4096, mul=2654435761, mod=2001):
+    """Exact port of graft.text.Classifier.hashedLinearScore over documents:
+    unigrams (nonempty whitespace tokens) + bigrams with multiplicity, each
+    gram hashed XXH64(seed 42), bucket = low bits, weight =
+    (bucket*mul) % mod - 1000 (all nonneg integer ops), per-doc integer sum;
+    zero-gram docs drop. Returns {doc_id: (n_feats, score_micro)}."""
+    import re as _re
+    rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    wcache = {}
+    out = {}
+    for i, t in rows:
+        toks = _re.split(r"\s+", t.strip()) if t is not None else [""]
+        grams = [w for w in toks if w != ""]
+        grams += [toks[j] + " " + toks[j + 1] for j in range(len(toks) - 1)]
+        if not grams:
+            continue
+        s = 0
+        for g in grams:
+            w = wcache.get(g)
+            if w is None:
+                b = xxh64_bytes(g.encode("utf-8"), 42) & (num_buckets - 1)
+                w = (b * mul) % mod - 1000
+                wcache[g] = w
+            s += w
+        out[i] = (len(grams), s)
+    return out
+
+def supp_quality_classifier(con):
+    """[py] face of q_quality_classifier (guards the Scala kernel and the
+    generated SQL from drifting together)."""
+    sc = _classifier_scores(con)
+    out = [(i, n, s, 1 if s > 0 else 0) for i, (n, s) in sc.items()]
+    return pd.DataFrame(out,
+        columns=["doc_id", "n_feats", "score_micro", "label"])
+
+def supp_weighted_sample(con):
+    """Exact port of q_weighted_sample: min-max-normalize the classifier
+    scores (all-exact integer inputs through IEEE double subtract/divide),
+    keep iff the top-53 hash bits beat floor(clamp01(rate)*2^53)."""
+    import math
+    sc = _classifier_scores(con)
+    mn = min(s for _, s in sc.values())
+    mx = max(s for _, s in sc.values())
+    out = []
+    for i, (_, s) in sc.items():
+        rate = float(s - mn) / float(mx - mn) if mx > mn else 1.0
+        thr = math.floor(min(1.0, max(0.0, rate)) * 9007199254740992.0)
+        if (xxh64_long(i, 42) >> 11) < thr:
+            out.append((i, s))
+    return pd.DataFrame(out, columns=["doc_id", "score_micro"])
+
 def supp_negative_sample(con, k=5):
     """Exact port of graft.agg.Preprocessing.negativeSample as pinned at the
     q_negative_sample call site: ring order (unsigned xxh64(doc_id, 42),
@@ -651,6 +702,8 @@ def supp_negative_sample(con, k=5):
     return pd.DataFrame(out, columns=["anchor_id", "neg_rank", "neg_id"])
 
 SUPPLEMENTARY = {
+    "q_quality_classifier": supp_quality_classifier,
+    "q_weighted_sample": supp_weighted_sample,
     "q_negative_sample": supp_negative_sample,
     "q_split_assign": supp_split_assign,
     "q_stratified_sample": supp_stratified_sample,
