@@ -972,6 +972,16 @@ object SparkEntry {
         .select("doc_id", "split")
     },
 
+    // deterministic k-fold assignment (cross-validation folds): exactly
+    // uniform over the hash domain (no modulo bias), content-stable like
+    // splitByHash. k mirrored at the qKfoldSql call site.
+    "q_kfold" -> { (s, dir) =>
+      graft.agg.Preprocessing.kFoldByHash(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id"),
+          "doc_id", k = 5)
+        .select("doc_id", "fold")
+    },
+
     // DSIR-style targeted data selection: hashed-unigram importance weights
     // (target = src0 documents, pool = the rest), exact top-k by weight.
     // Both models are <=4096-row broadcasts; scoring is map-only. Parameters
@@ -2646,6 +2656,9 @@ object SparkEntry {
 
     "q_split_assign" -> graft.oracle.HashOracleSql.qSplitAssignSql(
       "documents", "doc_id", splitSpec),
+
+    "q_kfold" -> graft.oracle.HashOracleSql.qKfoldSql(
+      "documents", "doc_id", k = 5),
 
     "q_bm25_topk" -> graft.text.Bm25.topKSql(
       "documents", "doc_id", "text", bm25Queries, k = 10L),

@@ -325,6 +325,25 @@ object Preprocessing {
       .drop("__h", "__gr", "__r0")
   }
 
+  /** Deterministic K-FOLD assignment — cross-validation folds as a pure
+    * function of row content: `fold = floor(u53 · k / 2^53)` with
+    * u53 = `xxhash64(id) >>> 11`, an EXACTLY uniform partition of the hash
+    * domain (unlike `hash % k`, which carries modulo bias) and all-integer
+    * on both engines (u53 < 2^53 and k ≤ 2^10 keep the product far below
+    * 2^63). Complements [[splitByHash]] (weighted named splits) — same
+    * content-stability guarantees: re-runnable, partition-independent,
+    * growth never moves an existing row. Map-only, zero shuffle.
+    */
+  def kFoldByHash(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 1024, "kFoldByHash needs 2 <= k <= 1024")
+    val u = shiftrightunsigned(xxhash64(col(idCol)), 11)
+    // integer `div`, never `/` (double division rounds above 2^53)
+    df.withColumn("__u53k", u * lit(k.toLong))
+      .withColumn("fold",
+        expr("__u53k div 9007199254740992").cast("int")) // div 2^53
+      .drop("__u53k")
+  }
+
   /** Per-ROW deterministic weighted sampling — soft quality filtering
     * (RefinedWeb-style): keep each row with probability `rateCol` (clamped
     * to [0,1]), decided by the SAME content-stable hash gate as

@@ -332,6 +332,21 @@ object HashOracleSql {
        |FROM agg""".stripMargin
   }
 
+  /** q_kfold: deterministic k-fold assignment
+    * ([[graft.agg.Preprocessing.kFoldByHash]]) re-derived —
+    * `fold = (u53 · k) // 2^53`, all-integer on both engines (BIGINT `//`
+    * is floor division, identical to Spark `div` for non-negatives).
+    */
+  def qKfoldSql(table: String, idCol: String, k: Int): String = {
+    val hashed = nest(
+      s"SELECT $idCol, ((CAST($idCol AS HUGEINT) + $M) & $MASK) AS idh FROM $table",
+      hashLongSteps("idh", "CAST(42 AS HUGEINT)", "h"))
+    s"""SELECT $idCol,
+       |  CAST((CAST((hf >> 11) AS BIGINT) * $k) // 9007199254740992 AS INT)
+       |    AS fold
+       |FROM ($hashed)""".stripMargin
+  }
+
   /** q_weighted_sample: per-row-rate deterministic sampling
     * ([[graft.agg.Preprocessing.weightedSample]] over a min-max-normalized
     * [[graft.text.Classifier.hashedLinearScore]]) re-derived. The rate is

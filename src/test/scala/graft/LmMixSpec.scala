@@ -214,6 +214,30 @@ class LmMixSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"splitByHash must not shuffle:\n$plan")
   }
 
+  test("kFoldByHash: total over 0..k-1, content-stable, agrees with splitByHash halves, map-only") {
+    val df = (1L to 3000L).toDF("id")
+    val folds = Preprocessing.kFoldByHash(df, "id", 5)
+      .select("id", "fold").as[(Long, Int)].collect().toMap
+    assert(folds.size === 3000 && folds.values.forall(f => f >= 0 && f < 5))
+    // roughly uniform (hash-uniformity sanity)
+    val counts = folds.values.groupBy(identity).view.mapValues(_.size)
+    counts.values.foreach(c => assert(c > 450 && c < 750, s"fold sizes $counts"))
+    // growth/partitioning never move a row
+    val big = Preprocessing.kFoldByHash((1L to 9000L).toDF("id"), "id", 5)
+      .select("id", "fold").as[(Long, Int)].collect().toMap
+    assert(folds.forall { case (id, f) => big(id) == f })
+    // k=2 fold boundary == splitByHash's 50/50 boundary (same hash domain)
+    val two = Preprocessing.kFoldByHash(df, "id", 2)
+      .select("id", "fold").as[(Long, Int)].collect().toMap
+    val half = Preprocessing.splitByHash(df, "id",
+        Seq("a" -> 0.5, "b" -> 0.5))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(two.forall { case (id, f) => (f == 0) == (half(id) == "a") })
+    val plan = Preprocessing.kFoldByHash(df, "id", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"kFoldByHash must not shuffle:\n$plan")
+  }
+
   test("splitBounds: boundaries partition the 2^53 hash domain in order") {
     val b = Preprocessing.splitBounds(Seq("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
     assert(b === Seq((1L << 52), (1L << 52) + (1L << 51)))
