@@ -41,14 +41,27 @@ object Features {
     * (loglizer/preprocessing.py:96-99): idf = ln(N / df), with
     * df = #groups containing the event; weight = tf * idf.
     * The idf side is tiny (one row per event) → broadcast join.
+    *
+    * N rides a broadcast ONE-ROW aggregate instead of a separate
+    * `distinct().count()` driver action (round-7, guide §2.4): the count
+    * job re-computed the whole `counts` subtree (a full parse+match pass at
+    * the q_tfidf call site) just to embed a literal; as a plan-side
+    * aggregate all three consumers of `counts` (N, the df table, the join
+    * probe) sit in ONE job and share the `counts` exchange via
+    * ReuseExchange — the input is computed once, not three times. Values
+    * are bit-identical: N is an exact integer either way and
+    * `cast(double)` = `.toDouble`.
     */
   def tfidf(counts: DataFrame, groupCols: Seq[String],
             eventCol: String = "event_id"): DataFrame = {
-    val nGroups = counts.select(groupCols.map(col): _*).distinct().count()
+    val nGroups = counts.select(groupCols.map(col): _*).distinct()
+      .agg(count(lit(1)).as("__ng"))
     val dfTable = counts.groupBy(col(eventCol)).agg(count(lit(1)).as("df"))
-      .withColumn("idf", log(lit(nGroups.toDouble) / col("df")))
     counts.join(broadcast(dfTable), eventCol)
+      .crossJoin(broadcast(nGroups))
+      .withColumn("idf", log(col("__ng").cast("double") / col("df")))
       .withColumn("tfidf", col("cnt") * col("idf"))
+      .drop("__ng")
   }
 
   /** G5/J5 — vocab build: events ranked by frequency desc then name asc into

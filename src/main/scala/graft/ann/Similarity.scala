@@ -412,12 +412,17 @@ object Similarity {
           s"ivfPqTopK: dim $dim not divisible into $numSub subspaces")
         val ds = dim / numSub
         val trainSet = sampledTrainSet(df, base, seed, quantizerSampleMod).cache()
+        // ONE init collect feeds both trainings (see collectInitRows): the
+        // coarse quantizer slices the first nLists rows, the PQ codebooks
+        // the first numCodes — identical to two separate limit() jobs
+        val initShared = collectInitRows(trainSet,
+          math.max(nLists, numCodes), seed)
         // coarse centroids = the numSub=1 codebook (full-vector k-means,
         // bit-identical to ivfTopK's training)
         val coarse = trainCodebooks(spark, trainSet, 1, dim, nLists,
-          coarseIters, seed).head
+          coarseIters, seed, initShared).head
         val codebooks = trainCodebooks(spark, trainSet, numSub, ds, numCodes,
-          pqIters, seed)
+          pqIters, seed, initShared)
         trainSet.unpersist(false)
 
         val encoded = base
@@ -426,20 +431,24 @@ object Similarity {
           .select("id", "cluster", "codes")
 
         // query → nProbe nearest coarse lists, driver-side (same fixed-order
-        // arithmetic and stable (dist, cid) order as ivfTopK's probes)
-        val qRows = base.filter(col("id").isInCollection(queryIds))
-          .select(col("id"), col("v")).collect()
-        val probes = qRows.toSeq.flatMap { r =>
-          val qv = r.getSeq[Double](1).toArray
+        // arithmetic and stable (dist, cid) order as ivfTopK's probes); the
+        // collected query vectors are REUSED by the ADC tables below (one
+        // collect job instead of two identical ones — round-7)
+        val qRows: Array[(Long, Array[Double])] =
+          base.filter(col("id").isInCollection(queryIds))
+            .select(col("id"), col("v")).collect()
+            .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        val probes = qRows.toSeq.flatMap { case (qid, qv) =>
           coarse.zipWithIndex.map { case (c, cid) =>
             var d = 0.0; var i = 0
             while (i < c.length) { val x = qv(i) - c(i); d += x * x; i += 1 }
-            (r.getLong(0), cid, d)
+            (qid, cid, d)
           }.sortBy(_._3).take(nProbe).map(t => (t._1, t._2))
         }
         import spark.implicits._
         val probeDf = probes.toDF("qid", "cluster")
-        val qdf = adcTables(spark, base, queryIds, codebooks, ds, numCodes)
+        val qdf = adcTables(spark, base, queryIds, codebooks, ds, numCodes,
+          qRowsPre = qRows)
         val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("id").asc)
         encoded.join(broadcast(probeDf), Seq("cluster"))
           .join(broadcast(qdf), Seq("qid"))
@@ -496,17 +505,31 @@ object Similarity {
     * (order-independent). numSub=1, ds=dim gives exactly [[ivfTopK]]'s
     * full-vector coarse k-means. Returns codebooks(mm)(j) = centroid j of
     * subspace mm. */
+  /** The deterministic init-row prefix: the `n` train vectors with smallest
+    * (hash(id, seed), id). A total order with unique ids, so the first
+    * `nLists` of a `max(nLists, numCodes)`-row collect equal a direct
+    * `limit(nLists)` — [[ivfPqTopK]] collects ONCE and both trainings slice
+    * their prefix (round-7: one job instead of two identical sort-limit
+    * jobs over the train set).
+    */
+  private[graft] def collectInitRows(trainSet: DataFrame, n: Int,
+                                     seed: Long): Array[Array[Double]] =
+    trainSet
+      .withColumn("__h", xxhash64(col("id"), lit(seed)))
+      .orderBy(col("__h"), col("id")).limit(n)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+
   private[graft] def trainCodebooks(spark: org.apache.spark.sql.SparkSession,
                                     trainSet: DataFrame, numSub: Int, ds: Int,
                                     numCodes: Int, iters: Int,
-                                    seed: Long): Array[Array[Array[Double]]] = {
+                                    seed: Long,
+                                    initRowsPre: Array[Array[Double]] = null): Array[Array[Array[Double]]] = {
     val quantScale = 4294967296.0 // 2^32
     def sub(mm: Int): Column = slice(col("v"), mm * ds + 1, ds)
-    val initRows: Array[Array[Double]] = trainSet
-      .withColumn("__h", xxhash64(col("id"), lit(seed)))
-      .orderBy(col("__h"), col("id")).limit(numCodes)
-      .select(col("v")).collect()
-      .map(_.getSeq[Double](0).toArray)
+    val initRows: Array[Array[Double]] =
+      if (initRowsPre != null) initRowsPre.take(numCodes)
+      else collectInitRows(trainSet, numCodes, seed)
     require(initRows.nonEmpty,
       "trainCodebooks: quantizer train set is empty (over-aggressive " +
         "quantizerSampleMod over an empty/undersized corpus) — pass an " +
@@ -554,12 +577,18 @@ object Similarity {
   private def adcTables(spark: org.apache.spark.sql.SparkSession,
                         base: DataFrame, queryIds: Seq[Long],
                         codebooks: Array[Array[Array[Double]]],
-                        ds: Int, numCodes: Int): DataFrame = {
+                        ds: Int, numCodes: Int,
+                        qRowsPre: Array[(Long, Array[Double])] = null): DataFrame = {
     val numSub = codebooks.length
-    val qRows = base.filter(col("id").isInCollection(queryIds))
-      .select(col("id"), col("v")).collect()
-    val dts: Seq[(Long, Seq[Double])] = qRows.toSeq.map { r =>
-      val qv = r.getSeq[Double](1).toArray
+    // ivfPqTopK already collected the query vectors for its probe
+    // computation — reuse them instead of a second identical collect job
+    // (round-7); pqTopK still collects its own (its only query-side job)
+    val qRows: Array[(Long, Array[Double])] =
+      if (qRowsPre != null) qRowsPre
+      else base.filter(col("id").isInCollection(queryIds))
+        .select(col("id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val dts: Seq[(Long, Seq[Double])] = qRows.toSeq.map { case (qid, qv) =>
       val dt = new Array[Double](numSub * numCodes)
       var mm = 0
       while (mm < numSub) {
@@ -573,7 +602,7 @@ object Similarity {
         }
         mm += 1
       }
-      (r.getLong(0), dt.toSeq)
+      (qid, dt.toSeq)
     }
     import spark.implicits._
     dts.toDF("qid", "dt")

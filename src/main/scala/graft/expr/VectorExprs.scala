@@ -594,6 +594,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimhashFingerprint].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimhashFingerprint(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_pii_scrub"),
+      new ExpressionInfo(classOf[PiiScrub].getName, "graft_pii_scrub"),
+      (children: Seq[Expression]) => PiiScrub(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_nearest_centroid"),
       new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
       (children: Seq[Expression]) => NearestCentroid(children(0), children(1))))

@@ -55,10 +55,17 @@ object Bm25 {
     val tf = toks.groupBy(col(idCol), col("__t"))
       .agg(count(lit(1)).as("__tf"))
     val df = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    // dl and the corpus token total DERIVE FROM tf (Σ tf per doc / overall)
+    // rather than re-aggregating `toks` (round-7, guide §2.4): every branch
+    // then shares tf's (id, term) exchange via ReuseExchange, so the
+    // tokenize+explode scan runs ONCE per query instead of three times.
+    // Values are identical — tf partitions the occurrence stream, so the
+    // sums equal the occurrence counts, and empty docs appear in neither
+    // formulation.
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("__tf")).as("__dl"))
     // N counts ALL docs (empty ones too); avgdl divides by the same N
     val stats = docs.agg(count(lit(1)).cast("long").as("__n"))
-      .crossJoin(toks.agg(count(lit(1)).cast("long").as("__toktot")))
+      .crossJoin(tf.agg(sum(col("__tf")).cast("long").as("__toktot")))
       .select(col("__n"),
         (col("__toktot").cast("double") / col("__n").cast("double"))
           .as("__avgdl"))

@@ -12,6 +12,28 @@ object TextAnalysis {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Java regex `\s` as a literal character set — for `translate`-based
+    * char counting (round-7): `length(translate(t, WS, ""))` equals
+    * `length(regexp_replace(t, "\\s+", ""))` exactly (both drop every
+    * [ \t\n\x0B\f\r] code point) with a single codegen'd pass instead of a
+    * regex engine scan.
+    */
+  private val WS = " \t\n\u000B\f\r"
+
+  /** Count of non-whitespace code points — the `translate` form of
+    * `length(regexp_replace(t, "\\s+", ""))` (bit-identical, no regex).
+    */
+  private def nonWsChars(t: Column): Column = length(translate(t, WS, ""))
+
+  /** Count of ASCII-alpha code points — the `translate` form of
+    * `length(regexp_replace(t, "[^A-Za-z]", ""))` (bit-identical, no
+    * regex): total length minus the length with every letter deleted.
+    */
+  private val Alpha =
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+  private def alphaChars(t: Column): Column =
+    length(t) - length(translate(t, Alpha, ""))
+
   /** BPE-ish token count: alpha runs, digit runs, and single other symbols —
     * the standard cheap proxy for subword token counts.
     */
@@ -59,14 +81,16 @@ object TextAnalysis {
     val stop = markers("en")
     df.withColumn("n_chars", length(t))
       .withColumn("n_tokens", size(toks))
+      // round-7: translate-based char counts (values identical, no regex
+      // engine — see nonWsChars/alphaChars)
       .withColumn("avg_token_len",
-        round(length(regexp_replace(t, "\\s+", "")).cast("double") /
+        round(nonWsChars(t).cast("double") /
           greatest(size(toks), lit(1)), 4))
       .withColumn("stopword_ratio",
         round(graft.expr.VectorFunctions.countIn(toks, stop).cast("double") /
           greatest(size(toks), lit(1)), 4))
       .withColumn("alpha_ratio",
-        round(length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") /
+        round(alphaChars(t).cast("double") /
           greatest(length(t), lit(1)), 4))
       .withColumn("quality_score",
         round(least(lit(1.0),
@@ -118,11 +142,15 @@ object TextAnalysis {
     val lines = split(t, "\n")
     val nw    = greatest(size(words), lit(1))
     val nl    = greatest(size(lines), lit(1))
-    val nHash     = length(t) - length(regexp_replace(t, "#", ""))
-    val nEllipsis = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / lit(3)
+    // round-7: literal char/substring counts via translate/replace — the
+    // regexp_replace forms scanned the doc with the regex engine three
+    // times; these are bit-identical (single chars and a fixed "..." both
+    // replace non-overlapping left-to-right in either engine)
+    val nHash     = length(t) - length(translate(t, "#", ""))
+    val nEllipsis = (length(t) - length(replace(t, lit("...")))) / lit(3)
     df.withColumn("n_words", size(words))
       .withColumn("mean_word_len",
-        round(length(regexp_replace(t, "\\s+", "")).cast("double") / nw, 4))
+        round(nonWsChars(t).cast("double") / nw, 4))
       .withColumn("symbol_word_ratio",
         round((nHash + nEllipsis).cast("double") / nw, 4))
       .withColumn("bullet_line_frac",
@@ -253,6 +281,26 @@ object TextAnalysis {
     * (`regexp_replace(..., 'g')` + `len(regexp_extract_all(...))`).
     */
   def piiScrub(df: DataFrame, textCol: String): DataFrame =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) if graft.expr.VectorFunctions.available(s) =>
+        // fused kernel ([[graft.expr.PiiScrub]]): counts and rewrites each
+        // tier in ONE regex pass — 3 passes/doc instead of 6 (round-7);
+        // whole-stage codegen's subexpression elimination evaluates the
+        // struct once per row across the four field extractions (the
+        // Drain.matchTemplates pattern)
+        df.withColumn("__pii", call_function("graft_pii_scrub", col(textCol)))
+          .withColumn("n_emails", col("__pii.n_emails"))
+          .withColumn("n_ips", col("__pii.n_ips"))
+          .withColumn("n_ids", col("__pii.n_ids"))
+          .withColumn("text_scrubbed", col("__pii.text_scrubbed"))
+          .drop("__pii")
+      case _ => piiScrubComposed(df, textCol)
+    }
+
+  /** The composed six-pass chain — the extension-less fallback and the
+    * semantic twin PiiSpec pins against the fused kernel.
+    */
+  private[graft] def piiScrubComposed(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_emails", regexp_count(col(textCol), lit(piiEmailRe)).cast("int"))
       .withColumn("__t1", regexp_replace(col(textCol), piiEmailRe, "<EMAIL>"))
       .withColumn("n_ips", regexp_count(col("__t1"), lit(piiIpRe)).cast("int"))

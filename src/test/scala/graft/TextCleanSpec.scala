@@ -53,6 +53,31 @@ class TextCleanSpec extends AnyFunSuite {
     assert(dedup("").head === ((1, 1, "")))                      // empty text
   }
 
+  test("piiScrub: fused kernel == composed six-pass chain (parity, incl. nulls)") {
+    val texts = Seq(
+      "mail a.b-c%d@sub.example.org now",
+      "host 10.0.255.7 and 1.2.3.4 up",
+      "ref 12345678 ok 999999 short",
+      "mixed bob@x.io at 192.168.0.1 id 76543210",
+      "x user@1.2.3.4.com y", "v 1234.5.6.7 w", "", "   ",
+      "a@b.co c@d.io e@f.gg back-to-back 1111111 2222222",
+      "12345678901234567890",
+      "adjacent9999999@x.io10.0.0.1",
+      null.asInstanceOf[String])
+    val df = texts.toDF("t")
+    def rows(out: org.apache.spark.sql.DataFrame) = out
+      .select("t", "n_emails", "n_ips", "n_ids", "text_scrubbed")
+      .collect().toSeq.map(_.toSeq)
+    val fused    = rows(TextAnalysis.piiScrub(df, "t"))
+    val composed = rows(TextAnalysis.piiScrubComposed(df, "t"))
+    assert(fused === composed)
+    // the fused path really is the kernel (one node), not six regex nodes —
+    // checked on the analyzed plan (a local Seq input constant-folds the
+    // whole executed plan into a LocalTableScan)
+    val plan = TextAnalysis.piiScrub(df, "t").queryExecution.analyzed.toString
+    assert(plan.contains("graft_pii_scrub"), s"fused kernel not planned:\n$plan")
+  }
+
   test("dedupLines/piiScrub plans: map-only projections, no shuffle, no UDF") {
     val df = Seq("a\nb\na", "c").toDF("t")
     Seq(TextAnalysis.dedupLines(df, "t"), TextAnalysis.piiScrub(df, "t")).foreach { out =>
