@@ -598,6 +598,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PiiScrub].getName, "graft_pii_scrub"),
       (children: Seq[Expression]) => PiiScrub(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_hash_features"),
+      new ExpressionInfo(classOf[HashedFeatures].getName, "graft_hash_features"),
+      (children: Seq[Expression]) => HashedFeatures(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dedup_lines"),
+      new ExpressionInfo(classOf[DedupLines].getName, "graft_dedup_lines"),
+      (children: Seq[Expression]) => DedupLines(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_reflow"),
+      new ExpressionInfo(classOf[ReflowLines].getName, "graft_reflow"),
+      (children: Seq[Expression]) => ReflowLines(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_nearest_centroid"),
       new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
       (children: Seq[Expression]) => NearestCentroid(children(0), children(1))))

@@ -194,6 +194,40 @@ final class DrainTree(cfg: DrainConfig) extends Serializable {
     }
   }
 
+  /** Array-specialized [[insert]] — the MINE-phase hot loop (round-7): same
+    * semantics through [[searchArr]] (the bit-identical array twin of
+    * [[search]]) and a position-wise merge that only materializes a new
+    * token Vector when the template actually changes; the Vector-based form
+    * built one Vector per ROW. DrainSpec's oracle-parity and
+    * partition-invariance suites pin the equivalence.
+    */
+  def insertArr(seq: Array[String], weight: Long = 1L): Unit = {
+    if (seq.length != 0) {
+      val c = searchArr(seq)
+      if (c == null) addToTree(new LogCluster(seq.toVector, weight))
+      else {
+        val tpl = c.tokens
+        c.count += weight
+        var changed = false
+        var i = 0
+        while (!changed && i < seq.length) {
+          // merged(i) = tpl(i) when equal, else "<*>"; it differs from
+          // tpl(i) only when they mismatch AND tpl(i) is not already "<*>"
+          if (seq(i) != tpl(i) && tpl(i) != "<*>") changed = true
+          i += 1
+        }
+        if (changed) {
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < seq.length) {
+            out += (if (seq(j) == tpl(j)) tpl(j) else "<*>"); j += 1
+          }
+          c.tokens = out.result()
+        }
+      }
+    }
+  }
+
   /** Insert preserving the template verbatim (frozen match-phase dictionary).
     * Returns the cluster so callers can attach metadata (precomputed ids).
     */
@@ -281,7 +315,8 @@ object Drain {
       df.select(col(textCol)).na.drop()
         .mapPartitions { it =>
           val tree = new DrainTree(cfg)
-          it.foreach(r => tree.insert(tokenize(r.getString(0), scrubRx)))
+          // array tokenization + array insert: no per-row Vector (round-7)
+          it.foreach(r => tree.insertArr(tokenizeArr(r.getString(0), scrubRx)))
           tree.clusters.iterator
         }(org.apache.spark.sql.Encoders.product[MinedCluster])
         .collect()

@@ -87,17 +87,23 @@ object Pipeline {
           bucketRoute: Boolean = true): Result = {
 
     // -- stage 1: parse (slim event stream + dictionary) --------------------
+    var minedDictSize: Option[Int] = None
     val (parsedDf, nTurns) = timed("parse")(Router.stageWithCount(spark, s"$workDir/parse") {
       val mineInput =
         if (mineFraction >= 1.0) transcripts
         else transcripts.sample(withReplacement = false, mineFraction, seed = 42L)
       val dict = Drain.mine(mineInput, "text", cfg)
+      minedDictSize = Some(dict.length)
       spark.createDataFrame(dict)
         .write.mode("overwrite").parquet(s"$workDir/dict")
       Drain.matchEventIds(transcripts, "text", dict, cfg)
         .select("conv_id", "turn_idx", "role", "tool", "ts", "event_id")
     })
-    val templates = spark.read.parquet(s"$workDir/dict").count().toInt
+    // the dict is driver-resident when the stage just ran — the parquet
+    // count job only pays off on RESUME, where the closure was skipped
+    // (round-7: one job fewer per fresh run)
+    val templates = minedDictSize.getOrElse(
+      spark.read.parquet(s"$workDir/dict").count().toInt)
 
     // -- stage 2: enrich dim (conversation labels) ---------------------------
     val labels = timed("labels")(Router.stage(spark, s"$workDir/labels") {

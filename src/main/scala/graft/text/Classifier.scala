@@ -52,8 +52,35 @@ object Classifier {
   def weightOf(bucket: Column): Column =
     (bucket * lit(weightMul)) % lit(weightMod) - lit(1000L)
 
-  /** Per-doc (idCol, n_feats, score_micro, label). */
-  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Per-doc (idCol, n_feats, score_micro, label).
+    *
+    * Fused default (round-7, guide §2.4): `graft_hash_features` computes the
+    * exact (n_feats, score_micro) pair IN-ROW, so the classifier is a
+    * map-only projection with NO explode and NO exchange — the composed
+    * form shuffled one row per unigram/bigram occurrence into a per-doc
+    * aggregate. Zero-feature docs drop on both paths (explode of an empty
+    * array ⟷ the n_feats > 0 filter). The coalesce on n_feats only pins
+    * the non-nullable schema the aggregate form produced.
+    */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) if graft.expr.VectorFunctions.available(s) =>
+        df.select(col(idCol),
+            call_function("graft_hash_features", col(textCol)).as("__f"))
+          .filter(col("__f.n_feats") > 0)
+          .select(col(idCol),
+            coalesce(col("__f.n_feats"), lit(0L)).as("n_feats"),
+            col("__f.score_micro").as("score_micro"))
+          .withColumn("label",
+            when(col("score_micro") > 0, lit(1)).otherwise(lit(0)))
+      case _ => hashedLinearScoreComposed(df, idCol, textCol)
+    }
+
+  /** The composed explode+aggregate chain — the extension-less fallback and
+    * the semantic twin ClassifierSpec pins against the fused kernel.
+    */
+  private[graft] def hashedLinearScoreComposed(df: DataFrame, idCol: String,
+                                               textCol: String): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     val unigrams = filter(toks, w => w =!= lit(""))
     val bigrams  = TextAnalysis.ngramsWithMultiplicity(col(textCol), 2)

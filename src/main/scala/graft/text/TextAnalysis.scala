@@ -106,6 +106,19 @@ object TextAnalysis {
     */
   def reflowLines(text: Column, perLine: Int): Column = {
     require(perLine >= 1, s"perLine must be >= 1, got $perLine")
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) if graft.expr.VectorFunctions.available(s) =>
+        // fused kernel ([[graft.expr.ReflowLines]]) — the composed form runs
+        // interpreted ArrayTransform lambdas per line per row (round-7)
+        call_function("graft_reflow", text, lit(perLine))
+      case _ => reflowLinesComposed(text, perLine)
+    }
+  }
+
+  /** The composed HOF chain — extension-less fallback and the semantic twin
+    * GopherRulesSpec pins against the fused kernel.
+    */
+  private[graft] def reflowLinesComposed(text: Column, perLine: Int): Column =
     element_at(
       transform(array(split(trim(text), "\\s+")), toks =>
         array_join(
@@ -115,7 +128,6 @@ object TextAnalysis {
             i => array_join(slice(toks, (i * perLine + 1).cast("int"), lit(perLine)), " ")),
           "\n")),
       1)
-  }
 
   /** Gopher-style repetition/format quality rules (Rae et al. 2021, §A1.1 —
     * public): per document, the rule features and a composite pass flag.
@@ -319,7 +331,24 @@ object TextAnalysis {
     * recomputed subtree). Map-only projection; the q_dedup_lines oracle
     * replays it with DuckDB's indexed `list_filter`.
     */
-  def dedupLines(df: DataFrame, textCol: String): DataFrame = {
+  def dedupLines(df: DataFrame, textCol: String): DataFrame =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) if graft.expr.VectorFunctions.available(s) =>
+        // fused kernel ([[graft.expr.DedupLines]]): one compiled pass with a
+        // hash set — the composed filter's `array_position` scan is
+        // interpreted and O(lines²) per row (round-7)
+        df.withColumn("__dl", call_function("graft_dedup_lines", col(textCol)))
+          .withColumn("n_lines", col("__dl.n_lines"))
+          .withColumn("text_dedup", col("__dl.text_dedup"))
+          .withColumn("n_kept", col("__dl.n_kept"))
+          .drop("__dl")
+      case _ => dedupLinesComposed(df, textCol)
+    }
+
+  /** The composed HOF chain — extension-less fallback and the semantic twin
+    * TextCleanSpec pins against the fused kernel.
+    */
+  private[graft] def dedupLinesComposed(df: DataFrame, textCol: String): DataFrame = {
     val dedup = element_at(
       transform(array(split(col(textCol), "\n")), l =>
         filter(l, (x, i) => array_position(l, x) === (i + 1).cast("long"))),

@@ -63,4 +63,22 @@ class ClassifierSpec extends AnyFunSuite {
       assert(label === (if (s > 0) 1 else 0))
     }
   }
+
+  test("fused kernel == composed explode+aggregate (parity incl. whitespace/unicode edges)") {
+    val texts = Seq(
+      "the cat sat", "a a", "x", "", "   ", "\tlead tab", "trail ",
+      " multi   space word ", "unicode h\u00e9llo w\u00f6rld gram",
+      "a\u000bvtab split", null.asInstanceOf[String])
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def rows(out: org.apache.spark.sql.DataFrame) = out
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    val fused    = rows(Classifier.hashedLinearScore(df, "doc_id", "text"))
+    val composed = rows(Classifier.hashedLinearScoreComposed(df, "doc_id", "text"))
+    assert(fused === composed)
+    // the fused path is map-only: no Exchange anywhere below the test sort
+    val plan = Classifier.hashedLinearScore(df, "doc_id", "text")
+      .queryExecution.analyzed.toString
+    assert(plan.contains("graft_hash_features"), s"fused kernel not planned:\n$plan")
+  }
 }

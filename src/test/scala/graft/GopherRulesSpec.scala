@@ -73,4 +73,20 @@ class GopherRulesSpec extends AnyFunSuite {
     val r = rules(Seq(doc), minWords = 1)(0L)
     assert(r._8 === 0.75 && !r._9)
   }
+
+  test("reflowLines: fused kernel == composed HOF chain (parity incl. edges)") {
+    import org.apache.spark.sql.functions.col
+    val texts = Seq(
+      "one two three four five six seven eight", "single", "", "   ",
+      "\ttab lead and trail\t", "a  b   c", "exact four word line",
+      null.asInstanceOf[String])
+    val df = texts.toDF("t")
+    Seq(1, 2, 4, 7).foreach { per =>
+      val fused = df.select(
+        graft.text.TextAnalysis.reflowLines(col("t"), per)).collect().toSeq
+      val composed = df.select(
+        graft.text.TextAnalysis.reflowLinesComposed(col("t"), per)).collect().toSeq
+      assert(fused === composed, s"perLine=$per")
+    }
+  }
 }

@@ -86,4 +86,16 @@ class TextCleanSpec extends AnyFunSuite {
       assert(!plan.contains("ScalaUDF"), s"unexpected UDF:\n$plan")
     }
   }
+
+  test("dedupLines: fused kernel == composed HOF chain (parity incl. edges)") {
+    val texts = Seq(
+      "a\nb\na\nc\nb", "a\nb\nc", "x\nx\nx", "", "one",
+      "\n", "a\n\nb\n\n", "trail\n", "  spaced  \n  spaced  ",
+      null.asInstanceOf[String])
+    val df = texts.toDF("t")
+    def rows(out: org.apache.spark.sql.DataFrame) = out
+      .select("t", "n_lines", "n_kept", "text_dedup").collect().toSeq.map(_.toSeq)
+    assert(rows(TextAnalysis.dedupLines(df, "t"))
+      === rows(TextAnalysis.dedupLinesComposed(df, "t")))
+  }
 }
