@@ -860,7 +860,7 @@ object SparkEntry {
       val d = s.read.parquet(s"$dir/documents.parquet")
       graft.agg.Packing.concatChunks(
         d.select(col("doc_id"),
-          size(filter(TextAnalysis.tokens(col("text")), w => w =!= lit("")))
+          TextAnalysis.nonEmptyTokenCount(col("text"))
             .cast("long").as("n_tokens")),
         "doc_id", "n_tokens", chunkLen = 64L)
     },
@@ -1000,7 +1000,7 @@ object SparkEntry {
     "q_exact_quantiles" -> { (s, dir) =>
       val d = s.read.parquet(s"$dir/documents.parquet")
         .select(col("source"),
-          size(filter(TextAnalysis.tokens(col("text")), w => w =!= lit("")))
+          TextAnalysis.nonEmptyTokenCount(col("text"))
             .cast("long").as("len"))
       graft.agg.Stats.exactQuantilesBy(d, "source", "len", quantilesFixture)
     },

@@ -610,6 +610,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ReflowLines].getName, "graft_reflow"),
       (children: Seq[Expression]) => ReflowLines(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[NgramsWithMultiplicity].getName, "graft_ngrams"),
+      (children: Seq[Expression]) => NgramsWithMultiplicity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ws_tokens"),
+      new ExpressionInfo(classOf[WsTokenCount].getName, "graft_ws_tokens"),
+      (children: Seq[Expression]) => WsTokenCount(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_nearest_centroid"),
       new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
       (children: Seq[Expression]) => NearestCentroid(children(0), children(1))))

@@ -12,6 +12,23 @@ object TextAnalysis {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** NONEMPTY whitespace token count (the q_concat_chunks counting rule) —
+    * fused kernel when the extension is installed (round-7), else the
+    * composed interpreted-filter form. INT like the composed `size`.
+    */
+  def nonEmptyTokenCount(text: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) if graft.expr.VectorFunctions.available(s) =>
+        call_function("graft_ws_tokens", text)
+      case _ => nonEmptyTokenCountComposed(text)
+    }
+
+  /** The composed HOF form — extension-less fallback and the semantic twin
+    * NgramSpec pins against the fused kernel.
+    */
+  private[graft] def nonEmptyTokenCountComposed(text: Column): Column =
+    size(filter(tokens(text), w => w =!= lit("")))
+
   /** Java regex `\s` as a literal character set — for `translate`-based
     * char counting (round-7): `length(translate(t, WS, ""))` equals
     * `length(regexp_replace(t, "\\s+", ""))` exactly (both drop every
@@ -482,6 +499,19 @@ object TextAnalysis {
     * empty, so the filter is a no-op on non-degenerate input).
     */
   def ngramsWithMultiplicity(text: Column, n: Int): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) if graft.expr.VectorFunctions.available(s) =>
+        // fused kernel ([[graft.expr.NgramsWithMultiplicity]]) — the
+        // composed per-position lambdas evaluate interpreted per row
+        // (round-7); NgramSpec pins parity
+        call_function("graft_ngrams", text, lit(n))
+      case _ => ngramsWithMultiplicityComposed(text, n)
+    }
+
+  /** The composed HOF chain — extension-less fallback and the semantic twin
+    * NgramSpec pins against the fused kernel.
+    */
+  private[graft] def ngramsWithMultiplicityComposed(text: Column, n: Int): Column =
     element_at(
       transform(array(split(trim(text), "\\s+")), toks =>
         filter(

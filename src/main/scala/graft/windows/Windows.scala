@@ -208,7 +208,8 @@ object Windows {
     require(h >= 1, "sftPairsBudget needs h >= 1 context turns")
     require(budget >= 1, "sftPairsBudget needs a positive token budget")
     val turn = concat(col("role"), lit(": "), col("text"))
-    val tcnt = size(filter(split(trim(turn), "\\s+"), w => w =!= lit("")))
+    // round-7: fused nonempty-token count (same value, no interpreted HOF)
+    val tcnt = graft.text.TextAnalysis.nonEmptyTokenCount(turn)
     val frame = convW.rowsBetween(-h, -1)
     val withTurns = df
       .withColumn("__turns",

@@ -135,4 +135,31 @@ class NgramSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
   }
+
+  test("ngramsWithMultiplicity: fused kernel == composed HOF chain (parity)") {
+    val texts = Seq(
+      "a b a b a", "a b", "  x   y z  ", "solo", "", "   ",
+      "\tlead tab pair", "trail \t", "a\u000bvtab b c",
+      null.asInstanceOf[String])
+    val df = texts.toDF("text")
+    Seq(1, 2, 3, 5).foreach { n =>
+      val fused = df.select(
+        TextAnalysis.ngramsWithMultiplicity(col("text"), n)).collect().toSeq
+      val composed = df.select(
+        TextAnalysis.ngramsWithMultiplicityComposed(col("text"), n)).collect().toSeq
+      assert(fused === composed, s"n=$n")
+    }
+  }
+
+  test("nonEmptyTokenCount: fused kernel == composed filter form (parity)") {
+    val texts = Seq(
+      "a b  c", "", "   ", "\tx", "x\t", "one", " lead", "trail ",
+      null.asInstanceOf[String])
+    val df = texts.toDF("text")
+    val fused = df.select(
+      TextAnalysis.nonEmptyTokenCount(col("text"))).collect().toSeq
+    val composed = df.select(
+      TextAnalysis.nonEmptyTokenCountComposed(col("text"))).collect().toSeq
+    assert(fused === composed)
+  }
 }
