@@ -78,6 +78,15 @@ object TextKernel {
     new GenericArrayData(arr)
   }
 
+  /** [[graft.text.TextAnalysis.fingerprint]]'s composed semantics in one
+    * call: md5 of the whitespace-normalized lowercase text (round-7 — the
+    * composed form is one regex pass + lower + md5; this is the same work
+    * without materializing the intermediate normalized UTF8String through
+    * three expression nodes).
+    */
+  def fingerprint(s: UTF8String): UTF8String =
+    UTF8String.fromString(md5Hex(normalize(s)))
+
   /** [[graft.text.TextAnalysis.rollingMinFingerprint]]'s composed semantics:
     * minimum md5 over all w-code-point windows of the normalized text
     * (md5(norm) when shorter than w).
@@ -151,9 +160,41 @@ object TextKernel {
   def repetitionNums(s: UTF8String): ArrayData = {
     val toks = ws.split(s.trim().toString, -1)
     val tn = toks.length
-    val lens = new Array[Int](tn)
+    // round-7: build the single-space-joined text ONCE with per-token char
+    // offsets + a code-point prefix array; every n-gram is then one
+    // substring (single arraycopy) and its char length one subtraction —
+    // the per-position StringBuilder build was the kernel's dominant cost.
+    // Values are unchanged: gram string = tokens joined by ' ', charlen =
+    // token code points + (n−1) spaces = code-point span in the joined text.
+    var joinedLen = tn - 1
     var i = 0
-    while (i < tn) { lens(i) = toks(i).codePointCount(0, toks(i).length); i += 1 }
+    while (i < tn) { joinedLen += toks(i).length; i += 1 }
+    val joined = new java.lang.StringBuilder(math.max(joinedLen, 0))
+    val starts = new Array[Int](tn)
+    val ends   = new Array[Int](tn)
+    i = 0
+    while (i < tn) {
+      if (i > 0) joined.append(' ')
+      starts(i) = joined.length
+      joined.append(toks(i))
+      ends(i) = joined.length
+      i += 1
+    }
+    val jstr = joined.toString
+    // cpBefore(k) = code points in jstr[0, k): a surrogate pair counts once
+    // (at its high surrogate). Token boundaries never split a pair, so
+    // prefix differences are exact gram code-point counts.
+    val cpBefore = new Array[Int](jstr.length + 1)
+    i = 0
+    var cpc = 0
+    while (i < jstr.length) {
+      cpBefore(i) = cpc
+      val lowOfPair = Character.isLowSurrogate(jstr.charAt(i)) && i > 0 &&
+        Character.isHighSurrogate(jstr.charAt(i - 1))
+      if (!lowOfPair) cpc += 1
+      i += 1
+    }
+    cpBefore(jstr.length) = cpc
     val nums = new Array[Any](9)
     var n = 2
     while (n <= 10) {
@@ -163,16 +204,10 @@ object TextKernel {
         val counts = new java.util.HashMap[String, Array[Long]]()
         var p = 0
         while (p <= tn - n) {
-          val sb = new java.lang.StringBuilder()
-          var gl = (n - 1).toLong
-          var q = 0
-          while (q < n) {
-            if (q > 0) sb.append(' ')
-            sb.append(toks(p + q))
-            gl += lens(p + q)
-            q += 1
-          }
-          val g = sb.toString
+          val a = starts(p)
+          val b = ends(p + n - 1)
+          val g = jstr.substring(a, b)
+          val gl = (cpBefore(b) - cpBefore(a)).toLong
           val e = counts.get(g)
           if (e == null) counts.put(g, Array(1L, gl)) else e(0) += 1
           p += 1
@@ -404,4 +439,27 @@ case class RollingMinFingerprint(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): RollingMinFingerprint =
     copy(left = newLeft, right = newRight)
+}
+
+
+/** `graft_fingerprint(text)` -> `string` - md5 of the whitespace-normalized
+  * lowercase text, the exact-dedup key ([[TextKernel.fingerprint]]).
+  */
+case class NormalizedFingerprint(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_fingerprint"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernel.fingerprint(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.expr.TextKernel.fingerprint($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizedFingerprint =
+    copy(child = newChild)
 }

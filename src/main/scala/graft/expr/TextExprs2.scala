@@ -246,3 +246,234 @@ case class WsTokenCount(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): WsTokenCount =
     copy(child = newChild)
 }
+
+
+/** Fused Gopher A1.1 doc-format rules kernel - the in-row form of
+  * [[graft.text.TextAnalysis.gopherQualityRules]]'s seven features + pass
+  * flag (round-7): the composed chain runs two regex splits plus three
+  * INTERPRETED ArrayFilter lambdas (bullet/ellipsis lines, alpha words) per
+  * row; this kernel computes the identical values in one pass. Exact
+  * replication notes:
+  *  - words = `split(trim(t), "\\s+")` (SQL trim 0x20, limit -1, empties
+  *    COUNTED in n_words like the composed `size`); lines = `split(t, "\n")`
+  *    (no trim);
+  *  - nHash counts '#' code points; nEllipsis = non-overlapping "..."
+  *    occurrences (each removes exactly 3 chars, so the composed
+  *    length-diff / 3.0 is the same integer);
+  *  - bullet iff the line STARTS WITH "- " or "* " (the composed
+  *    `substring(l, 1, 2) === "- "` - false for shorter lines);
+  *  - alpha word iff it contains an ASCII letter (`rlike("[A-Za-z]")`);
+  *  - distinct lines by exact string equality;
+  *  - every ratio is rounded like Spark's `round(x, 4)` - BigDecimal
+  *    HALF_UP - and `gopher_pass` applies the thresholds to the ROUNDED
+  *    values. GopherRulesSpec pins fused == composed parity.
+  *
+  * mean_word_len counts NON-WHITESPACE CODE POINTS like the composed
+  * `length(translate(t, WS, ""))` - `length` is code points, so the count
+  * here iterates code points, not chars (surrogate pairs count once).
+  */
+object GopherKernel {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val nl = java.util.regex.Pattern.compile("\n")
+
+  private def r4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+
+  def rules(s: UTF8String, minWords: Int, maxWords: Int): InternalRow = {
+    val t = s.toString
+    var st = 0; var en = t.length
+    while (st < en && t.charAt(st) == ' ') st += 1
+    while (en > st && t.charAt(en - 1) == ' ') en -= 1
+    val words = ws.split(t.substring(st, en), -1)
+    val lines = nl.split(t, -1)
+    val nWords = words.length
+    val nw = math.max(nWords, 1)
+    val nLines = lines.length
+    val nlv = math.max(nLines, 1)
+
+    var nonWs = 0
+    var nHash = 0
+    var i = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      if (!isWs(cp)) nonWs += 1
+      if (cp == '#') nHash += 1
+      i += Character.charCount(cp)
+    }
+    var nEll = 0
+    var p = t.indexOf("...")
+    while (p >= 0) { nEll += 1; p = t.indexOf("...", p + 3) }
+
+    var bullet = 0; var ell = 0
+    val distinct = new java.util.HashSet[String]()
+    i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      if (l.length >= 2) {
+        val c0 = l.charAt(0); val c1 = l.charAt(1)
+        if ((c0 == '-' || c0 == '*') && c1 == ' ') bullet += 1
+      }
+      if (l.endsWith("...")) ell += 1
+      distinct.add(l)
+      i += 1
+    }
+
+    var alphaWords = 0
+    i = 0
+    while (i < words.length) {
+      val w = words(i)
+      var j = 0
+      var hit = false
+      while (!hit && j < w.length) {
+        val c = w.charAt(j)
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) hit = true
+        j += 1
+      }
+      if (hit) alphaWords += 1
+      i += 1
+    }
+
+    val meanWordLen = r4(nonWs.toDouble / nw)
+    val symbolRatio = r4((nHash.toDouble + nEll.toDouble) / nw)
+    val bulletFrac  = r4(bullet.toDouble / nlv)
+    val ellFrac     = r4(ell.toDouble / nlv)
+    val alphaFrac   = r4(alphaWords.toDouble / nw)
+    val dupFrac     = r4(1.0 - distinct.size.toDouble / nlv)
+    val pass = nWords >= minWords && nWords <= maxWords &&
+      meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+      symbolRatio < 0.1 && bulletFrac < 0.9 && ellFrac < 0.3 &&
+      alphaFrac >= 0.8 && dupFrac < 0.3
+    new GenericInternalRow(Array[Any](nWords, meanWordLen, symbolRatio,
+      bulletFrac, ellFrac, alphaFrac, dupFrac, pass))
+  }
+}
+
+/** `graft_gopher(text, minWords, maxWords)` -> struct of the seven Gopher
+  * features + `gopher_pass` - see [[GopherKernel]].
+  */
+case class GopherRules(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  import org.apache.spark.sql.types.{BooleanType, DoubleType}
+
+  override def inputTypes = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("mean_word_len", DoubleType, nullable = false),
+    StructField("symbol_word_ratio", DoubleType, nullable = false),
+    StructField("bullet_line_frac", DoubleType, nullable = false),
+    StructField("ellipsis_line_frac", DoubleType, nullable = false),
+    StructField("alpha_word_frac", DoubleType, nullable = false),
+    StructField("dup_line_frac", DoubleType, nullable = false),
+    StructField("gopher_pass", BooleanType, nullable = false)))
+  override def prettyName: String = "graft_gopher"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!second.foldable || !third.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_gopher requires literal minWords/maxWords arguments")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val minW: Int = second.eval().asInstanceOf[Int]
+  @transient private lazy val maxW: Int = third.eval().asInstanceOf[Int]
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    GopherKernel.rules(a.asInstanceOf[UTF8String], minW, maxW)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, _, _) =>
+      s"${ev.value} = graft.expr.GopherKernel.rules($s, $minW, $maxW);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): GopherRules =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+
+/** Fused Cavnar-Trenkle classifier kernel - the in-row form of
+  * [[graft.text.LangId.classify]]'s whole chain (round-7, guide 2.4): the
+  * composed plan explodes each doc's top-K grams, cross-joins the language
+  * list, left-joins the broadcast profile table and runs TWO aggregates
+  * ((doc, lang) distance sum, per-doc argmin); this kernel computes the
+  * identical winner in-row, so the operator becomes a MAP-ONLY projection
+  * with no explode and no exchange. Same pinned semantics: doc profile =
+  * [[TextKernel.trigramTopK]] (rank = position+1), per-language distance =
+  * sum of |rd - rl| with [[graft.text.LangId.penalty]] for absent grams
+  * (exact integer sums), winner = (dist, lang) lexicographic min (languages
+  * iterated in ascending code order with a strict < keeps the smallest
+  * lang on ties). Sub-trigram docs return null and are filtered - the
+  * composed explode drops them the same way. LangIdSpec pins parity.
+  */
+object LangIdKernel {
+  // (lang, gram -> rank) in ascending language order - derived once from
+  // the same pinned profiles the composed plan broadcasts
+  private lazy val profs: Array[(UTF8String, java.util.HashMap[String, Integer])] = {
+    val byLang = graft.text.LangId.profiles.groupBy(_._1).toSeq.sortBy(_._1)
+    byLang.map { case (lang, rows) =>
+      val m = new java.util.HashMap[String, Integer]()
+      rows.foreach { case (_, g, r) => m.put(g, Integer.valueOf(r)) }
+      (UTF8String.fromString(lang), m)
+    }.toArray
+  }
+
+  def classify(s: UTF8String): InternalRow = {
+    val top = TextKernel.trigramTopK(s, graft.text.LangId.profileSize)
+    val n = top.numElements()
+    if (n == 0) return null
+    val grams = new Array[String](n)
+    var i = 0
+    while (i < n) { grams(i) = top.getUTF8String(i).toString; i += 1 }
+    val pen = graft.text.LangId.penalty.toLong
+    var bestLang: UTF8String = null
+    var bestDist = Long.MaxValue
+    var li = 0
+    while (li < profs.length) {
+      val (lang, prof) = profs(li)
+      var d = 0L
+      var gi = 0
+      while (gi < n) {
+        val rl = prof.get(grams(gi))
+        d += (if (rl == null) pen else math.abs((gi + 1).toLong - rl.longValue))
+        gi += 1
+      }
+      if (d < bestDist) { bestDist = d; bestLang = lang }
+      li += 1
+    }
+    new GenericInternalRow(Array[Any](bestLang, bestDist))
+  }
+}
+
+/** `graft_langid(text)` -> `struct<lang_ct string, dist long>` (null for
+  * sub-trigram docs) - see [[LangIdKernel]].
+  */
+case class LangIdClassify(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.types.LongType
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("lang_ct", StringType, nullable = false),
+    StructField("dist", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_langid"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LangIdKernel.classify(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = graft.expr.LangIdKernel.classify($s);
+         |if (${ev.value} == null) ${ev.isNull} = true;""".stripMargin)
+    f
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdClassify =
+    copy(child = newChild)
+}

@@ -618,6 +618,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WsTokenCount].getName, "graft_ws_tokens"),
       (children: Seq[Expression]) => WsTokenCount(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_gopher"),
+      new ExpressionInfo(classOf[GopherRules].getName, "graft_gopher"),
+      (children: Seq[Expression]) =>
+        GopherRules(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[NormalizedFingerprint].getName, "graft_fingerprint"),
+      (children: Seq[Expression]) => NormalizedFingerprint(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_langid"),
+      new ExpressionInfo(classOf[LangIdClassify].getName, "graft_langid"),
+      (children: Seq[Expression]) => LangIdClassify(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_nearest_centroid"),
       new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
       (children: Seq[Expression]) => NearestCentroid(children(0), children(1))))

@@ -116,8 +116,29 @@ object LangId {
           col(textCol), lit(profileSize))).as(Seq("p", "gram")))
       .select(col("id"), col("gram"), (col("p") + 1).cast("int").as("rd"))
 
-  /** Classify each document: (idCol, lang_ct, dist). */
-  def classify(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Classify each document: (idCol, lang_ct, dist).
+    *
+    * Fused default (round-7, guide §2.4): `graft_langid` computes the
+    * winning (lang, distance) IN-ROW against the pinned broadcast-free
+    * profile constants, so the whole operator is one map-only projection —
+    * the composed chain explodes the per-doc top-K grams, cross-joins the
+    * language list and runs two aggregates. LangIdSpec pins parity.
+    */
+  def classify(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    if (graft.expr.VectorFunctions.available(df.sparkSession))
+      df.select(col(idCol),
+          call_function("graft_langid", col(textCol)).as("__l"))
+        .filter(col("__l").isNotNull)
+        .select(col(idCol), col("__l.lang_ct").as("lang_ct"),
+          col("__l.dist").as("dist"))
+    else classifyComposed(df, idCol, textCol)
+
+  /** The composed explode + broadcast-join + double-aggregate chain — the
+    * extension-less fallback and the semantic twin LangIdSpec pins against
+    * the fused kernel.
+    */
+  private[graft] def classifyComposed(df: DataFrame, idCol: String,
+                                      textCol: String): DataFrame = {
     val s: SparkSession = df.sparkSession
     import s.implicits._
     val top =

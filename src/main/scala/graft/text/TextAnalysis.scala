@@ -165,6 +165,31 @@ object TextAnalysis {
     * n-gram repetition family lives in [[ngramCounts]]/[[graft.dedup.Dedup.spanDedup]]).
     */
   def gopherQualityRules(df: DataFrame, textCol: String,
+                         minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) if graft.expr.VectorFunctions.available(s) =>
+        // fused kernel ([[graft.expr.GopherRules]]): one pass per row — the
+        // composed chain runs two regex splits plus three interpreted
+        // ArrayFilter lambdas per row (round-7); GopherRulesSpec pins parity
+        val g = call_function("graft_gopher", col(textCol),
+          lit(minWords), lit(maxWords))
+        df.withColumn("__g", g)
+          .withColumn("n_words", col("__g.n_words"))
+          .withColumn("mean_word_len", col("__g.mean_word_len"))
+          .withColumn("symbol_word_ratio", col("__g.symbol_word_ratio"))
+          .withColumn("bullet_line_frac", col("__g.bullet_line_frac"))
+          .withColumn("ellipsis_line_frac", col("__g.ellipsis_line_frac"))
+          .withColumn("alpha_word_frac", col("__g.alpha_word_frac"))
+          .withColumn("dup_line_frac", col("__g.dup_line_frac"))
+          .withColumn("gopher_pass", col("__g.gopher_pass"))
+          .drop("__g")
+      case _ => gopherQualityRulesComposed(df, textCol, minWords, maxWords)
+    }
+
+  /** The composed column chain — extension-less fallback and the semantic
+    * twin GopherRulesSpec pins against the fused kernel.
+    */
+  private[graft] def gopherQualityRulesComposed(df: DataFrame, textCol: String,
                          minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
     val t     = col(textCol)
     val words = split(trim(t), "\\s+")
@@ -422,6 +447,19 @@ object TextAnalysis {
     * the exact-dedup key.
     */
   def fingerprint(text: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) if graft.expr.VectorFunctions.available(s) =>
+        // fused kernel ([[graft.expr.NormalizedFingerprint]]) — same regex,
+        // same md5, one expression node (round-7); CsvWinnowSpec-family
+        // tests and the q_fingerprint/q_curation oracles pin the values
+        call_function("graft_fingerprint", text)
+      case _ => fingerprintComposed(text)
+    }
+
+  /** The composed form — extension-less fallback and the semantic twin the
+    * parity test pins against the fused kernel.
+    */
+  private[graft] def fingerprintComposed(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
   /** Winnowing-style rolling fingerprint: the minimum md5 over all `w`-char

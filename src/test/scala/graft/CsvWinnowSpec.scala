@@ -105,4 +105,15 @@ newline"""),
       assert(got(id).toSet === reference(t, 8, 4), s"doc $id: '$t'")
     }
   }
+
+  test("fingerprint: fused kernel == composed md5(normalize) (parity)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val texts = Seq("A  B\tC", "  mixed CASE  ", "", "   ", "one",
+      "tab\tand\nnewline", "unicode H\u00c9LLO", null.asInstanceOf[String])
+    val df = texts.toDF("t")
+    val fused = df.select(graft.text.TextAnalysis.fingerprint(col("t"))).collect().toSeq
+    val composed = df.select(graft.text.TextAnalysis.fingerprintComposed(col("t"))).collect().toSeq
+    assert(fused === composed)
+  }
 }

@@ -89,4 +89,28 @@ class GopherRulesSpec extends AnyFunSuite {
       assert(fused === composed, s"perLine=$per")
     }
   }
+
+  test("gopherQualityRules: fused kernel == composed chain (parity incl. edges)") {
+    import org.apache.spark.sql.functions.col
+    val base = Seq(
+      "- bullet line\n* star line\nplain line",
+      "end with dots...\nanother...\nclean",
+      "# symbols # here ### and ...",
+      "dup\ndup\ndup\nuniq",
+      "", "   ", "\tword other\tthing",
+      (1 to 60).map(i => s"word$i").mkString(" "),
+      "s h o r t w o r d s " * 5,
+      null.asInstanceOf[String])
+    val df = base.toDF("t")
+    val cols = Seq("t", "n_words", "mean_word_len", "symbol_word_ratio",
+      "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+      "dup_line_frac", "gopher_pass")
+    def rows(out: org.apache.spark.sql.DataFrame) =
+      out.select(cols.head, cols.tail: _*).collect().toSeq.map(_.toSeq)
+    assert(rows(graft.text.TextAnalysis.gopherQualityRules(df, "t"))
+      === rows(graft.text.TextAnalysis.gopherQualityRulesComposed(df, "t")))
+    // tight thresholds exercise the pass flag on both paths
+    assert(rows(graft.text.TextAnalysis.gopherQualityRules(df, "t", minWords = 2, maxWords = 9))
+      === rows(graft.text.TextAnalysis.gopherQualityRulesComposed(df, "t", minWords = 2, maxWords = 9)))
+  }
 }

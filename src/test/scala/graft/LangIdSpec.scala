@@ -97,4 +97,21 @@ class LangIdSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
     assert(plan.contains("graft_trigram_topk"), s"kernel missing:\n$plan")
   }
+
+  test("classify: fused in-row kernel == composed join/aggregate chain (parity)") {
+    import org.apache.spark.sql.functions.col
+    val texts = Seq(
+      "the cat and the dog is a fine pair of the best",
+      "der hund und die katze ist nicht das problem",
+      "le chat et la mer est une belle chose",
+      "el gato y la mesa que es los mejores",
+      "xy", "", "   ", "de de de shi shi le bu wo zai",
+      null.asInstanceOf[String])
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def rows(out: org.apache.spark.sql.DataFrame) = out
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    assert(rows(graft.text.LangId.classify(df, "doc_id", "text"))
+      === rows(graft.text.LangId.classifyComposed(df, "doc_id", "text")))
+  }
 }
