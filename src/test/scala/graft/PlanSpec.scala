@@ -127,6 +127,29 @@ class PlanSpec extends AnyFunSuite {
     assert(wn.contains("graft_winnow"), "winnowing lost the fused kernel")
   }
 
+  test("round-7 driver queries take the new fused kernels, not the composed fallbacks") {
+    def analyzed(name: String): String =
+      SparkEntry.queries(name)(spark, dir).queryExecution.analyzed.toString
+    assert(analyzed("q_pii_scrub").contains("graft_pii_scrub"))
+    assert(analyzed("q_quality_classifier").contains("graft_hash_features"))
+    assert(analyzed("q_dedup_lines").contains("graft_dedup_lines"))
+    val qr = analyzed("q_quality_rules")
+    assert(qr.contains("graft_gopher") && qr.contains("graft_reflow"))
+    assert(analyzed("q_langid_profiles").contains("graft_langid"))
+    assert(analyzed("q_lm_score").contains("graft_ngrams"))
+    val cu = analyzed("q_curation")
+    assert(cu.contains("graft_fingerprint") && cu.contains("graft_pii_scrub") &&
+      cu.contains("graft_gopher") && cu.contains("graft_dedup_lines"))
+    // q_concat_chunks/q_exact_quantiles hide the count behind the Rank
+    // RDD materialization in `analyzed`; q_sft_budget shows it directly
+    assert(analyzed("q_sft_budget").contains("graft_ws_tokens"))
+    // the fused classifier and langid are MAP-ONLY: no exchange at all
+    Seq("q_quality_classifier", "q_langid_profiles").foreach { q =>
+      val plan = finalPlan(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("Exchange"), s"$q regained a shuffle:\n$plan")
+    }
+  }
+
   test("ivfTopK plans no full-corpus InMemoryRelation (hash-sampled quantizer)") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = graft.ann.Similarity.ivfTopK(emb, "vec_id", "embedding",
