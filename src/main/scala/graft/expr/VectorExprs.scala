@@ -651,6 +651,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => BloomMightContain(
         children(1),
         BloomRegistry.resolve(children(0).eval(null).asInstanceOf[Number].longValue()))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_drain_match_id"),
+      new ExpressionInfo(classOf[DrainMatchId].getName, "graft_drain_match_id"),
+      // same analysis-time resolution as graft_bloom_contains: the plan
+      // carries the broadcast handle, never the frozen tree itself
+      (children: Seq[Expression]) => DrainMatchId(
+        children(1),
+        DrainRegistry.resolve(children(0).eval(null).asInstanceOf[Number].longValue()))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_drain_match"),
+      new ExpressionInfo(classOf[DrainMatch].getName, "graft_drain_match"),
+      (children: Seq[Expression]) => DrainMatch(
+        children(1),
+        DrainRegistry.resolve(children(0).eval(null).asInstanceOf[Number].longValue()))))
   }
 }
 

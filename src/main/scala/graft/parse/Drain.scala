@@ -395,18 +395,30 @@ object Drain {
     */
   def matchTemplates(df: DataFrame, textCol: String, dict: Seq[TemplateEntry],
                      cfg: DrainConfig): DataFrame = {
-    val spark   = df.sparkSession
-    val matcher = graft.util.Bc(spark.sparkContext.broadcast(new Matcher(dict, cfg)))
-    val matchUdf = udf { text: String =>
-      if (text == null) null else {
-        val (id, tpl) = matcher.get.matchText(text)
-        (id, tpl)
+    val spark = df.sparkSession
+    val bc    = spark.sparkContext.broadcast(new Matcher(dict, cfg))
+    if (graft.expr.VectorFunctions.available(spark)) {
+      // codegen'd expression over the broadcast frozen tree (round-7): same
+      // kernel, no ScalaUDF row-conversion boundary; the registry indirection
+      // keeps the tree out of the plan (the graft_bloom_contains pattern)
+      val id = graft.expr.DrainRegistry.register(bc)
+      df.withColumn("__m", call_function("graft_drain_match", lit(id), col(textCol)))
+        .withColumn("event_id", col("__m.event_id"))
+        .withColumn("event_template", col("__m.event_template"))
+        .drop("__m")
+    } else {
+      val matcher = graft.util.Bc(bc)
+      val matchUdf = udf { text: String =>
+        if (text == null) null else {
+          val (id, tpl) = matcher.get.matchText(text)
+          (id, tpl)
+        }
       }
+      df.withColumn("__m", matchUdf(col(textCol)))
+        .withColumn("event_id", col("__m._1"))
+        .withColumn("event_template", col("__m._2"))
+        .drop("__m")
     }
-    df.withColumn("__m", matchUdf(col(textCol)))
-      .withColumn("event_id", col("__m._1"))
-      .withColumn("event_template", col("__m._2"))
-      .drop("__m")
   }
 
   /** Phase (b), id-only variant: when downstream only needs `event_id`
@@ -416,12 +428,19 @@ object Drain {
     */
   def matchEventIds(df: DataFrame, textCol: String, dict: Seq[TemplateEntry],
                     cfg: DrainConfig): DataFrame = {
-    val spark   = df.sparkSession
-    val matcher = graft.util.Bc(spark.sparkContext.broadcast(new Matcher(dict, cfg)))
-    val idUdf = udf { text: String =>
-      if (text == null) null else matcher.get.matchId(text)
+    val spark = df.sparkSession
+    val bc    = spark.sparkContext.broadcast(new Matcher(dict, cfg))
+    if (graft.expr.VectorFunctions.available(spark)) {
+      val id = graft.expr.DrainRegistry.register(bc)
+      df.withColumn("event_id",
+        call_function("graft_drain_match_id", lit(id), col(textCol)))
+    } else {
+      val matcher = graft.util.Bc(bc)
+      val idUdf = udf { text: String =>
+        if (text == null) null else matcher.get.matchId(text)
+      }
+      df.withColumn("event_id", idUdf(col(textCol)))
     }
-    df.withColumn("event_id", idUdf(col(textCol)))
   }
 
   /** End-to-end parse: mine + match in one call. */

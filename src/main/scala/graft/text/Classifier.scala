@@ -65,9 +65,15 @@ object Classifier {
   def hashedLinearScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
     org.apache.spark.sql.SparkSession.getActiveSession match {
       case Some(s) if graft.expr.VectorFunctions.available(s) =>
-        df.select(col(idCol),
+        // pre-filter on the CHEAP equivalent of n_feats > 0 (n_feats = 0 iff
+        // the 0x20-trimmed text is empty: a nonempty trim yields either a
+        // nonempty unigram or, for all-\s text, a nonempty " " bigram), so
+        // predicate pushdown cannot re-inline the kernel into a Filter and
+        // evaluate it twice per row (guide §4.4's duplication, observed in
+        // the round-7 plan dumps)
+        df.filter(length(trim(col(textCol))) > 0)
+          .select(col(idCol),
             call_function("graft_hash_features", col(textCol)).as("__f"))
-          .filter(col("__f.n_feats") > 0)
           .select(col(idCol),
             coalesce(col("__f.n_feats"), lit(0L)).as("n_feats"),
             col("__f.score_micro").as("score_micro"))

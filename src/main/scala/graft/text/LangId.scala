@@ -126,9 +126,16 @@ object LangId {
     */
   def classify(df: DataFrame, idCol: String, textCol: String): DataFrame =
     if (graft.expr.VectorFunctions.available(df.sparkSession))
-      df.select(col(idCol),
+      // pre-filter on the CHEAP equivalent of "kernel returns null": the
+      // kernel is null iff normalize(text) is EMPTY, and normalize (a \s+
+      // -> single-space replaceAll over the 0x20-trimmed text) yields ""
+      // iff the trim does - non-0x20 whitespace normalizes to a space,
+      // which is >= 1 char and pads to a valid trigram. Filtering here
+      // keeps predicate pushdown from re-inlining the kernel into a Filter
+      // and running it twice per row (guide 4.4, round-7 plan audit).
+      df.filter(length(trim(col(textCol))) > 0)
+        .select(col(idCol),
           call_function("graft_langid", col(textCol)).as("__l"))
-        .filter(col("__l").isNotNull)
         .select(col(idCol), col("__l.lang_ct").as("lang_ct"),
           col("__l.dist").as("dist"))
     else classifyComposed(df, idCol, textCol)

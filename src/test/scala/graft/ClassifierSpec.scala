@@ -68,7 +68,8 @@ class ClassifierSpec extends AnyFunSuite {
     val texts = Seq(
       "the cat sat", "a a", "x", "", "   ", "\tlead tab", "trail ",
       " multi   space word ", "unicode h\u00e9llo w\u00f6rld gram",
-      "a\u000bvtab split", null.asInstanceOf[String])
+      "a\u000bvtab split", "\u000b", "\t", " \t ",
+      null.asInstanceOf[String])
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
     def rows(out: org.apache.spark.sql.DataFrame) = out

@@ -106,6 +106,7 @@ class LangIdSpec extends AnyFunSuite {
       "le chat et la mer est une belle chose",
       "el gato y la mesa que es los mejores",
       "xy", "", "   ", "de de de shi shi le bu wo zai",
+      "\u000b", "\t\t", " \u000b ",
       null.asInstanceOf[String])
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
