@@ -161,11 +161,16 @@ object TextKernel {
     val toks = ws.split(s.trim().toString, -1)
     val tn = toks.length
     // round-7: build the single-space-joined text ONCE with per-token char
-    // offsets + a code-point prefix array; every n-gram is then one
-    // substring (single arraycopy) and its char length one subtraction —
-    // the per-position StringBuilder build was the kernel's dominant cost.
-    // Values are unchanged: gram string = tokens joined by ' ', charlen =
-    // token code points + (n−1) spaces = code-point span in the joined text.
+    // offsets + a code-point prefix array; each n-gram is then the char
+    // RANGE [starts(p), ends(p+n-1)) of the joined text and its char length
+    // one subtraction — no per-gram String is ever materialized. Counting
+    // uses an open-addressing table keyed by a rolling range hash with
+    // in-place regionMatches verification (exact — collisions only cost a
+    // probe), and the (count DESC, gram ASC) tie-break compares code points
+    // in place (code-point order ≡ UTF-8 byte order ≡ the UTF8String binary
+    // order the composed form sorts by). Values are unchanged: gram string =
+    // tokens joined by ' ', charlen = token code points + (n−1) spaces =
+    // code-point span in the joined text.
     var joinedLen = tn - 1
     var i = 0
     while (i < tn) { joinedLen += toks(i).length; i += 1 }
@@ -195,44 +200,116 @@ object TextKernel {
       i += 1
     }
     cpBefore(jstr.length) = cpc
+    // Rolling polynomial hash prefixes: hash of chars [a, b) =
+    // hpre(b) - hpre(a) * pw(b - a) (mod 2^64). Collisions are handled by
+    // the regionMatches verification below, so any 64-bit wrap is harmless.
+    val jn = jstr.length
+    val hpre = new Array[Long](jn + 1)
+    val pw = new Array[Long](jn + 1)
+    pw(0) = 1L
+    var hk = 0L
+    i = 0
+    while (i < jn) {
+      hk = hk * 31L + jstr.charAt(i)
+      hpre(i + 1) = hk
+      pw(i + 1) = pw(i) * 31L
+      i += 1
+    }
+    // One open-addressing table reused across the nine n rounds: a slot is
+    // live for the current round iff stamp(idx) == n (n >= 2, so 0 = never
+    // used). Capacity is a power of two >= 2x the max position count.
+    val maxPos = math.max(tn - 1, 1)
+    var cap = 8
+    while (cap < maxPos * 2) cap <<= 1
+    val mask = cap - 1
+    val slotStart = new Array[Int](cap)
+    val slotLen = new Array[Int](cap)
+    val slotCnt = new Array[Long](cap)
+    val stamp = new Array[Int](cap)
     val nums = new Array[Any](9)
     var n = 2
     while (n <= 10) {
       var topnum = 0L
       var dupnum = 0L
       if (tn >= n) {
-        val counts = new java.util.HashMap[String, Array[Long]]()
         var p = 0
         while (p <= tn - n) {
           val a = starts(p)
           val b = ends(p + n - 1)
-          val g = jstr.substring(a, b)
-          val gl = (cpBefore(b) - cpBefore(a)).toLong
-          val e = counts.get(g)
-          if (e == null) counts.put(g, Array(1L, gl)) else e(0) += 1
+          val len = b - a
+          // 64-bit finalizer mix so consecutive range hashes spread over the
+          // table (fibonacci multiplier + xor-fold to the index bits).
+          var hx = (hpre(b) - hpre(a) * pw(len)) * -7046029254386353131L
+          hx ^= (hx >>> 32)
+          var idx = hx.toInt & mask
+          var done = false
+          while (!done) {
+            if (stamp(idx) != n) {
+              stamp(idx) = n
+              slotStart(idx) = a
+              slotLen(idx) = len
+              slotCnt(idx) = 1L
+              done = true
+            } else if (slotLen(idx) == len &&
+                jstr.regionMatches(slotStart(idx), jstr, a, len)) {
+              slotCnt(idx) += 1L
+              done = true
+            } else idx = (idx + 1) & mask
+          }
           p += 1
         }
         var topC = 0L
-        var topG: String = null
-        var topL = 0L
-        val it = counts.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          val c = e.getValue()(0)
-          val gl = e.getValue()(1)
-          if (c >= 2L) dupnum += c * gl
-          if (c > topC || (c == topC && topG != null &&
-              UTF8String.fromString(e.getKey).compareTo(UTF8String.fromString(topG)) < 0) ||
-              topG == null) {
-            topC = c; topG = e.getKey; topL = gl
+        var topStart = -1
+        var topLen = 0
+        var idx = 0
+        while (idx < cap) {
+          if (stamp(idx) == n) {
+            val c = slotCnt(idx)
+            val a2 = slotStart(idx)
+            val l2 = slotLen(idx)
+            if (c >= 2L) dupnum += c * (cpBefore(a2 + l2) - cpBefore(a2)).toLong
+            if (topStart < 0 || c > topC ||
+                (c == topC && compareCodePoints(jstr, a2, l2, topStart, topLen) < 0)) {
+              topC = c; topStart = a2; topLen = l2
+            }
           }
+          idx += 1
         }
-        if (topC >= 2L) topnum = topC * topL
+        if (topC >= 2L)
+          topnum = topC * (cpBefore(topStart + topLen) - cpBefore(topStart)).toLong
       }
       nums(n - 2) = java.lang.Long.valueOf(if (n <= 4) topnum else dupnum)
       n += 1
     }
     new GenericArrayData(nums)
+  }
+
+  /** Code-point lexicographic comparison of s[a1, a1+l1) vs s[a2, a2+l2) —
+    * identical to UTF-8 byte order (UTF8String binary order) for the
+    * well-formed UTF-16 these kernels see (UTF8String.toString never yields
+    * lone surrogates). Chars compare directly until they differ; a differing
+    * pair is remapped so the surrogate block sorts ABOVE [E000, FFFF]
+    * (supplementary code points > all BMP), matching code-point order.
+    */
+  private def compareCodePoints(s: String, a1: Int, l1: Int,
+                                a2: Int, l2: Int): Int = {
+    val lim = math.min(l1, l2)
+    var i = 0
+    while (i < lim) {
+      val c1 = s.charAt(a1 + i)
+      val c2 = s.charAt(a2 + i)
+      if (c1 != c2) {
+        var x1 = c1.toInt
+        var x2 = c2.toInt
+        if (x1 >= 0xD800 || x2 >= 0xD800) {
+          x1 = if (x1 >= 0xE000) x1 - 0x800 else if (x1 >= 0xD800) x1 + 0x2000 else x1
+          x2 = if (x2 >= 0xE000) x2 - 0x800 else if (x2 >= 0xD800) x2 + 0x2000 else x2
+        }
+        return Integer.compare(x1, x2)
+      }
+      i += 1
+    }
+    Integer.compare(l1, l2)
   }
 }
 

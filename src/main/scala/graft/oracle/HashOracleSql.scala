@@ -417,6 +417,8 @@ object HashOracleSql {
   def qMixtureUpsampleSql(table: String, idCol: String, domainCol: String,
                           tokenCol: String, weights: Seq[(String, Double)],
                           budget: Long): String = {
+    require(weights.forall(!_._1.contains("'")),
+      "domain fixture names must not contain single quotes (unescaped SQL literals)")
     val wvals = weights
       .map { case (d, w) => s"('$d', CAST(${w.toString} AS DOUBLE))" }
       .mkString(", ")
@@ -615,6 +617,8 @@ object HashOracleSql {
     */
   def qCmsEstimateSql(table: String, groupCol: String, textCol: String,
                       probes: Seq[String], d: Int, w: Int): String = {
+    require(probes.forall(!_.contains("'")),
+      "probe fixture strings must not contain single quotes (unescaped SQL literals)")
     val pvals = probes.map(p => s"('$p')").mkString(", ")
     s"""WITH ${cmsCtes(table, groupCol, textCol, d, w, probes)},
        |cells AS (

@@ -113,6 +113,12 @@ object Bm25 {
     */
   def topKSql(table: String, idCol: String, textCol: String,
               queries: Seq[(String, String)], k: Long): String = {
+    // Fixture strings are interpolated into SQL literals unescaped; a
+    // future fixture with an apostrophe would emit invalid/wrong oracle
+    // SQL — fail loudly at generation time instead.
+    require(queries.forall { case (qid, q) =>
+      !qid.contains("'") && !q.contains("'")
+    }, "bm25 query fixtures must not contain single quotes (unescaped SQL literals)")
     val qvals = queries
       .flatMap { case (qid, q) =>
         q.trim.split("\\s+").filter(_.nonEmpty).distinct.map(t => s"('$qid', '$t')")

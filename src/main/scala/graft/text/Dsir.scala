@@ -71,6 +71,16 @@ object Dsir {
       .join(broadcast(rc.select(col("__b"), col("__c").as("__cr"))), Seq("__b"), "left")
       .crossJoin(broadcast(tt))
       .crossJoin(broadcast(rt))
+    // Overflow bound (pinned one-log form — the LongType products must stay
+    // exact BEFORE the single double cast; splitting into two logs changes
+    // rounding and breaks the q_dsir_select oracle): num = (ct+1)·(Tr+B) and
+    // den = (cr+1)·(Tt+B) wrap silently in non-ANSI Spark past 2^63, i.e.
+    // when (hottest bucket count + 1) × (other side's token total + 4096)
+    // ≥ 9.2e18. Safe for any pairing of a ≤10^9-token target model with a
+    // ≤~9×10^9-token pool (and vice versa); for corpora beyond that, shard
+    // the pool (weights are per-row functions of the two ≤B-row models, so
+    // sharding is exact) or pre-verify max(model count)×(total+B) < 2^63
+    // from the two ≤B-row model tables before calling.
     val num = (coalesce(col("__ct"), lit(0L)) + lit(1L)) * (col("__rt") + lit(bl))
     val den = (coalesce(col("__cr"), lit(0L)) + lit(1L)) * (col("__tt") + lit(bl))
     joined

@@ -85,6 +85,12 @@ object Rank {
     * then a partition-local running accumulator. The scale-safe replacement
     * for `sum().over(Window.orderBy(...))`, which coalesces the input into
     * ONE task.
+    *
+    * `order` MUST be a total order over the rows (include a unique key, as
+    * every current caller does): the per-row offsets come from
+    * partition-local iteration order, so tied rows could swap offsets
+    * between the two passes / recomputations — the same caveat documented
+    * on [[globalRowNumber]].
     */
   def globalRunningSum(df: DataFrame, order: Seq[Column], valueCol: String,
                        outCol: String): (DataFrame, Long) = {

@@ -61,7 +61,15 @@ class RepetitionSpec extends AnyFunSuite {
       6L -> "a b\t",                     // trailing tab: trailing empty token kept
       7L -> "\tlead tab",                // leading empty token
       8L -> "xx y xx y z w z w",         // count tie
-      9L -> ("s " * 50).trim             // long repeat, caps
+      9L -> ("s " * 50).trim,            // long repeat, caps
+      // count tie where UTF-16 char order and code-point (UTF-8 byte)
+      // order DISAGREE: tokens A="\uD834\uDD1E" (U+1D11E, a surrogate
+      // pair) and C="\uE000"; 2-grams "A b" and "C b" both occur twice
+      // (the "x" separator keeps the crossing grams at count 1). Raw
+      // UTF-16 sorts A(D834..) < C(E000) but code points sort
+      // C(E000) < A(1D11E) -- the kernel must match the composed form's
+      // UTF8String (code-point) order: top 2-gram "C b", charlen 3.
+      10L -> "\uD834\uDD1E b \uD834\uDD1E b x \uE000 b \uE000 b"
     ).toDF("doc_id", "text")
     val composed = TextAnalysis.repetitionNumsComposed(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
@@ -78,7 +86,10 @@ class RepetitionSpec extends AnyFunSuite {
     (kernel.keySet -- composed.keySet).foreach { id =>
       assert(kernel(id).forall(_ == 0L), s"doc $id should be all-zero")
     }
-    assert(composed.keySet === Set(2L, 4L, 5L, 6L, 7L, 8L, 9L))
+    assert(composed.keySet === Set(2L, 4L, 5L, 6L, 7L, 8L, 9L, 10L))
+    // doc 10 hand check: code-point order picks " b" (charlen 3),
+    // topnum 2*3 = 6 — the UTF-16 winner "𝄞 b" would read 2*4 = 8.
+    assert(kernel(10L).head === 6L)
   }
 
   test("fused path is one map-only projection (no exchange, no join)") {
