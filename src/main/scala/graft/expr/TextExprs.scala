@@ -116,33 +116,84 @@ object TextKernel {
     * composed `when(length < 3, ...)` guard).
     */
   def trigramTopK(s: UTF8String, k: Int): ArrayData = {
+    val keys = trigramTopKeys(s, k)
+    val arr = new Array[Any](keys.length)
+    var j = 0
+    while (j < keys.length) {
+      arr(j) = UTF8String.fromString(new String(unpackTrigram(keys(j)), 0, 3))
+      j += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  /** A trigram is EXACTLY three code points, each <= 0x10FFFF (21 bits), so
+    * it packs injectively into one 63-bit long `cp0<<42 | cp1<<21 | cp2` —
+    * and because the fields are fixed-width most-significant-first, the
+    * NUMERIC order of packed keys is the code-point-lexicographic order,
+    * which is the UTF8String (UTF-8 byte) order the top-K tie-break pins.
+    */
+  def packTrigram(cp0: Int, cp1: Int, cp2: Int): Long =
+    (cp0.toLong << 42) | (cp1.toLong << 21) | cp2.toLong
+
+  def unpackTrigram(key: Long): Array[Int] =
+    Array((key >>> 42).toInt, ((key >>> 21) & 0x1FFFFF).toInt, (key & 0x1FFFFF).toInt)
+
+  /** [[trigramTopK]]'s rank-ordered top-k as PACKED KEYS — the
+    * allocation-free core shared with the fused langid kernel (which never
+    * needs the gram strings at all): open-addressing count table over the
+    * packed keys, then a bounded (count DESC, key ASC) selection. Identical
+    * ranking to the old HashMap+sort form: pack is injective on trigrams
+    * and numeric key order ≡ UTF8String gram order (see [[packTrigram]]).
+    */
+  def trigramTopKeys(s: UTF8String, k: Int): Array[Long] = {
     val norm = " " + normalize(s) + " "
     val cps = norm.codePoints().toArray
     val n = cps.length
-    if (n < 3) return new GenericArrayData(Array.empty[Any])
-    val counts = new java.util.HashMap[String, Integer]()
+    if (n < 3) return Array.emptyLongArray
+    val np = n - 2
+    var cap = 8
+    while (cap < np * 2) cap <<= 1
+    val mask = cap - 1
+    val keys = new Array[Long](cap)
+    val cnts = new Array[Int](cap) // 0 = empty slot (live counts are >= 1)
     var i = 0
-    while (i <= n - 3) {
-      val g = new String(cps, i, 3)
-      val c = counts.get(g)
-      counts.put(g, if (c == null) 1 else Integer.valueOf(c + 1))
+    while (i < np) {
+      val key = packTrigram(cps(i), cps(i + 1), cps(i + 2))
+      var hx = key * -7046029254386353131L
+      hx ^= (hx >>> 32)
+      var idx = hx.toInt & mask
+      var done = false
+      while (!done) {
+        if (cnts(idx) == 0) {
+          keys(idx) = key; cnts(idx) = 1; done = true
+        } else if (keys(idx) == key) {
+          cnts(idx) += 1; done = true
+        } else idx = (idx + 1) & mask
+      }
       i += 1
     }
-    val entries =
-      new java.util.ArrayList[java.util.Map.Entry[String, Integer]](counts.entrySet())
-    entries.sort(new java.util.Comparator[java.util.Map.Entry[String, Integer]] {
-      override def compare(a: java.util.Map.Entry[String, Integer],
-                           b: java.util.Map.Entry[String, Integer]): Int = {
-        val d = Integer.compare(b.getValue, a.getValue)
-        if (d != 0) d
-        else UTF8String.fromString(a.getKey).compareTo(UTF8String.fromString(b.getKey))
+    // bounded top-k selection: keep a (cnt DESC, key ASC)-sorted window of
+    // size <= k; most entries fail the cheap worst-entry check.
+    val bk = new Array[Long](k)
+    val bc = new Array[Int](k)
+    var size = 0
+    var idx = 0
+    while (idx < cap) {
+      val c = cnts(idx)
+      if (c > 0) {
+        val key = keys(idx)
+        if (size < k || c > bc(size - 1) || (c == bc(size - 1) && key < bk(size - 1))) {
+          var pos = if (size < k) size else k - 1
+          while (pos > 0 && (c > bc(pos - 1) || (c == bc(pos - 1) && key < bk(pos - 1)))) {
+            bk(pos) = bk(pos - 1); bc(pos) = bc(pos - 1); pos -= 1
+          }
+          bk(pos) = key; bc(pos) = c
+          if (size < k) size += 1
+        }
       }
-    })
-    val m = math.min(k, entries.size)
-    val arr = new Array[Any](m)
-    var j = 0
-    while (j < m) { arr(j) = UTF8String.fromString(entries.get(j).getKey); j += 1 }
-    new GenericArrayData(arr)
+      idx += 1
+    }
+    if (size == k) bk else java.util.Arrays.copyOf(bk, size)
   }
 
   /** [[graft.text.TextAnalysis.repetitionFeatures]]'s per-document CHARACTER

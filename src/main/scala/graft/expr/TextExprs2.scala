@@ -412,35 +412,38 @@ case class GopherRules(first: Expression, second: Expression, third: Expression)
   * composed explode drops them the same way. LangIdSpec pins parity.
   */
 object LangIdKernel {
-  // (lang, gram -> rank) in ascending language order - derived once from
-  // the same pinned profiles the composed plan broadcasts
-  private lazy val profs: Array[(UTF8String, java.util.HashMap[String, Integer])] = {
+  // (lang, sorted packed trigram keys, rank per key) in ascending language
+  // order - derived once from the same pinned profiles the composed plan
+  // broadcasts. Profile grams are trigrams (3 code points), so the packed
+  // key (TextKernel.packTrigram) is an injective stand-in for the gram
+  // string: a key-level binary search is exactly the string lookup.
+  private lazy val profs: Array[(UTF8String, Array[Long], Array[Int])] = {
     val byLang = graft.text.LangId.profiles.groupBy(_._1).toSeq.sortBy(_._1)
     byLang.map { case (lang, rows) =>
-      val m = new java.util.HashMap[String, Integer]()
-      rows.foreach { case (_, g, r) => m.put(g, Integer.valueOf(r)) }
-      (UTF8String.fromString(lang), m)
+      val pairs = rows.map { case (_, g, r) =>
+        val cps = g.codePoints().toArray
+        require(cps.length == 3, s"profile gram '$g' is not a trigram")
+        (TextKernel.packTrigram(cps(0), cps(1), cps(2)), r)
+      }.sortBy(_._1)
+      (UTF8String.fromString(lang), pairs.map(_._1).toArray, pairs.map(_._2).toArray)
     }.toArray
   }
 
   def classify(s: UTF8String): InternalRow = {
-    val top = TextKernel.trigramTopK(s, graft.text.LangId.profileSize)
-    val n = top.numElements()
+    val top = TextKernel.trigramTopKeys(s, graft.text.LangId.profileSize)
+    val n = top.length
     if (n == 0) return null
-    val grams = new Array[String](n)
-    var i = 0
-    while (i < n) { grams(i) = top.getUTF8String(i).toString; i += 1 }
     val pen = graft.text.LangId.penalty.toLong
     var bestLang: UTF8String = null
     var bestDist = Long.MaxValue
     var li = 0
     while (li < profs.length) {
-      val (lang, prof) = profs(li)
+      val (lang, pkeys, pranks) = profs(li)
       var d = 0L
       var gi = 0
       while (gi < n) {
-        val rl = prof.get(grams(gi))
-        d += (if (rl == null) pen else math.abs((gi + 1).toLong - rl.longValue))
+        val at = java.util.Arrays.binarySearch(pkeys, top(gi))
+        d += (if (at < 0) pen else math.abs((gi + 1).toLong - pranks(at).toLong))
         gi += 1
       }
       if (d < bestDist) { bestDist = d; bestLang = lang }

@@ -81,7 +81,12 @@ class LangIdSpec extends AnyFunSuite {
       4L -> "ab",                     // norm ' ab ' (4 cps): 2 grams
       5L -> "aaa bbb aaa aaa ccc",    // repeated-count ties -> gram order
       6L -> "über naïve café über",   // non-ASCII code points
-      7L -> ("xy " * 40).trim         // > profileSize distinct grams? ties galore
+      7L -> ("xy " * 40).trim,        // > profileSize distinct grams? ties galore
+      // supplementary code points (U+1D11E, surrogate PAIRS in UTF-16)
+      // mixed with U+E000 -- count ties here are decided differently by raw
+      // UTF-16 char order vs the pinned code-point order; parity vs the
+      // composed Spark-SQL chain pins the packed-key ranking on non-BMP text
+      8L -> "\uD834\uDD1Ea\uE000 \uD834\uDD1Ea\uE000 \uE000a\uD834\uDD1E \uE000a\uD834\uDD1E"
     ).toDF("doc_id", "text")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.as[(Long, String, Int)].collect().toSeq.sorted
@@ -107,6 +112,7 @@ class LangIdSpec extends AnyFunSuite {
       "el gato y la mesa que es los mejores",
       "xy", "", "   ", "de de de shi shi le bu wo zai",
       "\u000b", "\t\t", " \u000b ",
+      "\uD834\uDD1E der \uE000 und \uD834\uDD1E die \uE000",
       null.asInstanceOf[String])
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
