@@ -35,6 +35,17 @@ object SparkEntry {
     p
   }
 
+  /** Id-only twin of [[parsed]] for queries that never read
+    * `event_template` (round-7, guide §1.2 step 2): plans
+    * `graft_drain_match_id` — no per-row template string build. Same
+    * event_id values ([[Drain.parseIds]]; DrainSpec pins the parity).
+    */
+  private def parsedIds(s: SparkSession, dir: String): DataFrame = {
+    val t = transcripts(s, dir)
+    val (p, _) = Drain.parseIds(t, "text", drainCfg)
+    p
+  }
+
   // ---- oracle SQL scaffolding -------------------------------------------
   private def withT(body: String): String =
     s"WITH ${Transcripts.oracleCte} $body"
@@ -107,28 +118,28 @@ object SparkEntry {
     // G1 — session grouping by EXTRACTED id (regex find-all + explode),
     // the HDFS blk_-style sessionization over text-mentioned keys.
     "q_session_extract" -> { (s, dir) =>
-      Windows.sessionsByExtractedId(parsed(s, dir), "user [0-9]+")
+      Windows.sessionsByExtractedId(parsedIds(s, dir), "user [0-9]+")
         .select(col("session_id"), array_join(col("events"), " ").as("seq"),
           col("n_rows"))
     },
 
     // G1/G2 — session grouping: ordered per-conversation event sequence.
     "q_session_seq" -> { (s, dir) =>
-      Windows.sessionGroup(parsed(s, dir))
+      Windows.sessionGroup(parsedIds(s, dir))
         .select(col("conv_id"), col("n_turns").cast("long").as("n_turns"),
           array_join(col("events"), " ").as("seq"))
     },
 
     // G3 — session tail truncation (last 20 events per conversation).
     "q_session_tail" -> { (s, dir) =>
-      Windows.sessionTail(Windows.sessionGroup(parsed(s, dir)), 20)
+      Windows.sessionTail(Windows.sessionGroup(parsedIds(s, dir)), 20)
         .select(col("conv_id"), array_join(col("events"), " ").as("tail_seq"),
           size(col("events")).as("n_kept"))
     },
 
     // W6 — fixed-length positional chunks (PLELog fixLength).
     "q_chunk_by_size" -> { (s, dir) =>
-      Windows.chunkBySize(parsed(s, dir), 120)
+      Windows.chunkBySize(parsedIds(s, dir), 120)
         .groupBy(col("conv_id"), col("chunk_id"))
         .agg(count(lit(1)).as("n"))
     },
@@ -140,12 +151,12 @@ object SparkEntry {
 
     // G7 — event-count vectors per conversation (exploded form).
     "q_count_vector" -> { (s, dir) =>
-      Features.countVectors(parsed(s, dir), Seq("conv_id"))
+      Features.countVectors(parsedIds(s, dir), Seq("conv_id"))
     },
 
     // G8 — TF-IDF weighting of the count vectors.
     "q_tfidf" -> { (s, dir) =>
-      val cv = Features.countVectors(parsed(s, dir), Seq("conv_id"))
+      val cv = Features.countVectors(parsedIds(s, dir), Seq("conv_id"))
       Features.tfidf(cv, Seq("conv_id"))
         .select(col("conv_id"), col("event_id"), col("cnt"),
           col("df"), round(col("tfidf"), 4).as("tfidf"))
@@ -153,14 +164,14 @@ object SparkEntry {
 
     // W1 — fixed entry-count windows (size 4, step 2 → overlapping).
     "q_fixed_window" -> { (s, dir) =>
-      Windows.fixedWindows(parsed(s, dir), size = 4, step = 2)
+      Windows.fixedWindows(parsedIds(s, dir), size = 4, step = 2)
         .select(col("conv_id"), col("win_start"),
           array_join(col("events"), " ").as("events_seq"), col("n"))
     },
 
     // W3 — history sliding windows + next-event label.
     "q_history" -> { (s, dir) =>
-      Windows.historyWindows(parsed(s, dir), h = 3)
+      Windows.historyWindows(parsedIds(s, dir), h = 3)
         .select(col("conv_id"), col("turn_idx"),
           array_join(col("history"), " ").as("history"), col("next_event"))
     },
@@ -189,7 +200,7 @@ object SparkEntry {
 
     // W2 — time-based sliding windows (size 600s, step 300s).
     "q_time_window" -> { (s, dir) =>
-      Windows.timeWindows(parsed(s, dir), sizeSec = 600, stepSec = 300)
+      Windows.timeWindows(parsedIds(s, dir), sizeSec = 600, stepSec = 300)
         .select(col("conv_id"), col("win_start"),
           array_join(col("events"), " ").as("events_seq"), col("n"))
     },
@@ -197,7 +208,7 @@ object SparkEntry {
     // W2(b) — GLOBAL time windows (no session key): whole-log hour-window
     // shape of loglizer/dataloader.py:193-247, count-vector output.
     "q_time_window_global" -> { (s, dir) =>
-      Windows.timeWindowsGlobal(parsed(s, dir), sizeSec = 600, stepSec = 300)
+      Windows.timeWindowsGlobal(parsedIds(s, dir), sizeSec = 600, stepSec = 300)
     },
 
     // O3 (true per-row semantics) — top-k over a per-row score array with
@@ -217,7 +228,7 @@ object SparkEntry {
 
     // O3 — top-k candidate membership over history windows.
     "q_topk" -> { (s, dir) =>
-      val h = Windows.historyWindows(parsed(s, dir), h = 3)
+      val h = Windows.historyWindows(parsedIds(s, dir), h = 3)
       Features.topKMembership(h, k = 3)
         .select(col("conv_id"), col("turn_idx"), col("next_event"), col("is_anomaly"))
     },
@@ -250,7 +261,7 @@ object SparkEntry {
     },
 
     // G5/J5 — vocab: frequency-ranked contiguous event ids.
-    "q_vocab" -> { (s, dir) => Features.vocab(parsed(s, dir)) },
+    "q_vocab" -> { (s, dir) => Features.vocab(parsedIds(s, dir)) },
 
     // P2/G11 — label binarize + window label reduce (max per conversation).
     "q_window_label" -> { (s, dir) =>
@@ -262,12 +273,12 @@ object SparkEntry {
 
     // G4 + §4.2 skew — salted groupBy-count over the hot template key.
     "q_route_counts" -> { (s, dir) =>
-      Features.saltedCount(parsed(s, dir), "event_id")
+      Features.saltedCount(parsedIds(s, dir), "event_id")
     },
 
     // G12 — distinct-sequence multiplicities split by label.
     "q_distinct_seq" -> { (s, dir) =>
-      val p = parsed(s, dir)
+      val p = parsedIds(s, dir)
         .withColumn("lbl", when(col("role") === "tool", 1).otherwise(0))
       val grouped = Windows.sessionGroup(p, labelCol = Some("lbl"))
         .withColumn("label", array_max(col("labels")))
@@ -276,7 +287,7 @@ object SparkEntry {
 
     // G14 — dedup with min-label reconciliation.
     "q_reconcile" -> { (s, dir) =>
-      val p = parsed(s, dir)
+      val p = parsedIds(s, dir)
         .withColumn("lbl", when(col("role") === "tool", 1).otherwise(0))
       val grouped = Windows.sessionGroup(p, labelCol = Some("lbl"))
         .withColumn("label", array_max(col("labels")))
@@ -345,7 +356,7 @@ object SparkEntry {
 
     // P6 — min-length session filter (sessions with ≥ 60 events).
     "q_min_length" -> { (s, dir) =>
-      Windows.minLength(Windows.sessionGroup(parsed(s, dir)), 60)
+      Windows.minLength(Windows.sessionGroup(parsedIds(s, dir)), 60)
         .select(col("conv_id"), size(col("events")).as("n_events"))
     },
 
@@ -390,7 +401,7 @@ object SparkEntry {
 
     // F9 — pad-left / tail-truncate session sequences to fixed length.
     "q_pad_truncate" -> { (s, dir) =>
-      Windows.sessionGroup(parsed(s, dir))
+      Windows.sessionGroup(parsedIds(s, dir))
         .select(col("conv_id"),
           array_join(Preprocessing.padOrTruncateLeft(col("events"), 100, "<pad>"), " ")
             .as("padded"))
@@ -398,7 +409,7 @@ object SparkEntry {
 
     // G9a — zero-mean normalization of count vectors.
     "q_zero_mean" -> { (s, dir) =>
-      val cv = Features.countVectors(parsed(s, dir), Seq("conv_id"))
+      val cv = Features.countVectors(parsedIds(s, dir), Seq("conv_id"))
       Preprocessing.zeroMean(cv)
         .select(col("conv_id"), col("event_id"), col("cnt"),
           round(col("cnt_centered"), 4).as("cnt_centered"))
@@ -406,7 +417,7 @@ object SparkEntry {
 
     // G9b — sigmoid on nonzero counts.
     "q_sigmoid" -> { (s, dir) =>
-      val cv = Features.countVectors(parsed(s, dir), Seq("conv_id"))
+      val cv = Features.countVectors(parsedIds(s, dir), Seq("conv_id"))
       Preprocessing.sigmoidNonzero(cv)
         .select(col("conv_id"), col("event_id"), col("cnt"),
           round(col("cnt_sigmoid"), 6).as("cnt_sigmoid"))
@@ -422,7 +433,7 @@ object SparkEntry {
 
     // W4 — logbert-style chunking of session sequences.
     "q_chunk" -> { (s, dir) =>
-      Preprocessing.chunkSequence(Windows.sessionGroup(parsed(s, dir)), "events", 10)
+      Preprocessing.chunkSequence(Windows.sessionGroup(parsedIds(s, dir)), "events", 10)
         .select(col("conv_id"), col("chunk_idx"),
           array_join(col("chunk"), " ").as("chunk"))
     },
@@ -1210,7 +1221,7 @@ object SparkEntry {
 
     // G13 — train-side dedup: each distinct session sequence exactly once.
     "q_dedup_seq" -> { (s, dir) =>
-      val sessions = Windows.sessionGroup(parsed(s, dir))
+      val sessions = Windows.sessionGroup(parsedIds(s, dir))
       Features.dedupSequences(sessions, "events")
         .select(array_join(col("events"), " ").as("seq"))
     },
@@ -1220,7 +1231,7 @@ object SparkEntry {
     // train time (tool-role templates are excluded from train) folded into
     // a per-conversation __oov__ bucket.
     "q_align_counts" -> { (s, dir) =>
-      val p = parsed(s, dir)
+      val p = parsedIds(s, dir)
       val h = substring(md5(col("conv_id")), 1, 1)
       val train = p.filter(h < "8" && col("role") =!= "tool")
       val testCounts = p.filter(h >= "8")

@@ -351,12 +351,28 @@ object Drain {
     // cluster identity → id: read-only after construction; identity survives
     // java serialization (one object graph per broadcast value)
     private val idByCluster = new java.util.IdentityHashMap[AnyRef, String]()
+    private val insertedClusters = new java.util.ArrayList[tree.LogCluster]()
     entries.foreach { e =>
       val c = tree.insertFrozen(e.event_template.split(" ").toVector, e.occurrences)
       idByCluster.put(c, e.event_id)
+      insertedClusters.add(c)
     }
     private val idByTemplate: Map[String, String] =
       entries.map(e => e.event_template -> e.event_id).toMap
+    // (id, template) per cluster, precomputed AFTER all inserts (the tree is
+    // frozen, so cluster tokens cannot change later): the matchText hit path
+    // previously rebuilt the template string (tokens.mkString) and re-looked
+    // it up PER ROW for one of ~|dict| distinct outcomes.
+    private val pairByCluster = {
+      val m = new java.util.IdentityHashMap[AnyRef, (String, String)]()
+      val it = insertedClusters.iterator()
+      while (it.hasNext) {
+        val c = it.next()
+        val t = c.tokens.mkString(" ")
+        m.put(c, (idByTemplate.getOrElse(t, md5_8(t)), t))
+      }
+      m
+    }
     private val scrubRx = cfg.scrub
 
     /** Id-only match: no per-row template string or Vector is built on the
@@ -378,14 +394,15 @@ object Drain {
       * rule, SURVEY.md §7.3.2).
       */
     def matchText(text: String): (String, String) = {
-      val toks = tokenize(text, scrubRx)
-      tree.search(toks) match {
-        case Some(c) =>
-          val t = c.tokens.mkString(" ")
-          (idByTemplate.getOrElse(t, md5_8(t)), t)
-        case None =>
-          val t = toks.map(t => if (t.exists(_.isDigit)) "<*>" else t).mkString(" ")
-          (md5_8(t), t)
+      val toks = tokenizeArr(text, scrubRx)
+      val c    = tree.searchArr(toks)
+      if (c != null) {
+        val pre = pairByCluster.get(c)
+        if (pre != null) pre
+        else { val t = c.tokens.mkString(" "); (idByTemplate.getOrElse(t, md5_8(t)), t) }
+      } else {
+        val t = toks.map(t => if (t.exists(_.isDigit)) "<*>" else t).mkString(" ")
+        (md5_8(t), t)
       }
     }
   }
@@ -447,6 +464,21 @@ object Drain {
   def parse(df: DataFrame, textCol: String, cfg: DrainConfig): (DataFrame, Vector[TemplateEntry]) = {
     val dict = mine(df, textCol, cfg)
     (matchTemplates(df, textCol, dict, cfg), dict)
+  }
+
+  /** End-to-end id-only parse: mine + [[matchEventIds]]. For consumers that
+    * never read `event_template`: [[parse]]'s match expression computes the
+    * (id, template) STRUCT per row, and extracting only `.event_id` does
+    * not stop the kernel from building the template string — this variant
+    * plans `graft_drain_match_id`, whose hit path does no per-row string
+    * building at all. event_id values are identical to [[parse]]'s
+    * (tokenizeArr/searchArr are [[tokenize]]/[[search]]'s bit-identical
+    * twins and both matchers resolve a matched cluster to the same
+    * precomputed id; DrainSpec pins id-only == struct-path ids row-for-row).
+    */
+  def parseIds(df: DataFrame, textCol: String, cfg: DrainConfig): (DataFrame, Vector[TemplateEntry]) = {
+    val dict = mine(df, textCol, cfg)
+    (matchEventIds(df, textCol, dict, cfg), dict)
   }
 
   /** T3 parameter extraction (Drain.py:336-345) — the *intended* semantics:

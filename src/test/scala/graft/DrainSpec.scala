@@ -164,6 +164,41 @@ class DrainSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("id-only match == struct match ids, row-for-row (parseIds twin of parse)") {
+    // the id-only parse (graft_drain_match_id / matchId) must assign the
+    // SAME event_id as the (id, template) struct parse on every row —
+    // dictionary hits, unmatched digit-mask fallbacks, and null text — so
+    // query bodies that never read event_template can take the id-only
+    // plan without changing results.
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "user 17 clicked element 4"),      // dictionary shape
+      (2L, "user 9 viewed page 3 for 7 seconds"),
+      (3L, "weird singleton shape 42 zz"),    // unmatched: digit-mask fallback
+      (4L, "another 8 oddity"),
+      (5L, null.asInstanceOf[String]))        // null text -> null id on both
+    val df = rows.toDF("rid", "text")
+    val dict = Drain.mine(
+      df.filter(org.apache.spark.sql.functions.col("text").isNotNull), "text", cfg)
+    def ids(out: org.apache.spark.sql.DataFrame) =
+      out.select("rid", "event_id").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val structIds = ids(Drain.matchTemplates(df, "text", dict, cfg))
+    val idOnly    = ids(Drain.matchEventIds(df, "text", dict, cfg))
+    assert(idOnly === structIds)
+    assert(idOnly(5L).isEmpty)
+    // and through the full parse twins on real derived transcripts
+    val t = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+    val (p1, d1) = Drain.parse(t, "text", cfg)
+    val (p2, d2) = Drain.parseIds(t, "text", cfg)
+    assert(d1 === d2)
+    val k1 = p1.select("conv_id", "turn_idx", "event_id").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    val k2 = p2.select("conv_id", "turn_idx", "event_id").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(k1 === k2)
+  }
+
   test("full parse on the events-derived transcripts yields the 5 expected templates") {
     val t = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
     val dict = Drain.mine(t, "text", cfg)

@@ -148,6 +148,19 @@ class PlanSpec extends AnyFunSuite {
       val plan = finalPlan(SparkEntry.queries(q)(spark, dir))
       assert(!plan.contains("Exchange"), s"$q regained a shuffle:\n$plan")
     }
+    // id-only parse consumers plan graft_drain_match_id — the struct match
+    // (graft_drain_match) builds the template string per row even when only
+    // .event_id is extracted, so a call site silently reverting to parsed()
+    // is a perf regression; template-bearing queries keep the struct match
+    // (q_vocab hides the match behind the Rank RDD materialization, like
+    // q_concat_chunks above — asserted via the other consumers instead)
+    Seq("q_session_seq", "q_fixed_window", "q_history", "q_tfidf",
+        "q_count_vector", "q_route_counts").foreach { q =>
+      val a = analyzed(q)
+      assert(a.contains("graft_drain_match_id"), s"$q lost the id-only match")
+      assert(!a.contains("graft_drain_match("), s"$q still plans the struct match")
+    }
+    assert(analyzed("q_parse_structured").contains("graft_drain_match("))
   }
 
   test("ivfTopK plans no full-corpus InMemoryRelation (hash-sampled quantizer)") {
