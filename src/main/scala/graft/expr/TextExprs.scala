@@ -431,6 +431,46 @@ case class RepetitionNums(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_digits(s)` → `string` — the first ASCII-digit run of `s`, EXACTLY
+  * `regexp_extract(s, "[0-9]+", 0)`: the whole first match, empty string
+  * when no digit occurs, null for null input. Byte-exact on UTF8String
+  * without the regex engine: `[0-9]` matches only ASCII 0x30-0x39, and in
+  * UTF-8 every byte of a multi-byte code point is >= 0x80 (negative as a
+  * signed byte), so a byte scan finds exactly the regex's runs. Used by the
+  * transcripts derivation (its DuckDB CTE twin keeps regexp_extract — the
+  * VALUES are identical, ExprSpec pins the parity).
+  */
+object DigitKernel {
+  def firstDigitRun(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    var i = 0
+    while (i < n && { val b = s.getByte(i); b < '0' || b > '9' }) i += 1
+    if (i == n) return UTF8String.EMPTY_UTF8
+    var j = i + 1
+    while (j < n && { val b = s.getByte(j); b >= '0' && b <= '9' }) j += 1
+    UTF8String.fromBytes(s.getBytes, i, j - i)
+  }
+}
+
+case class FirstDigitRun(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_digits"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DigitKernel.firstDigitRun(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.expr.DigitKernel.firstDigitRun($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): FirstDigitRun =
+    copy(child = newChild)
+}
+
 /** SimHash kernel — EXACTLY [[graft.dedup.Dedup.simhash64]]'s UDF body:
   * SQL-whitespace split (same cached `\s+` pattern semantics), per token a
   * 64-bit hash from Scala MurmurHash3.stringHash of the token (high word)

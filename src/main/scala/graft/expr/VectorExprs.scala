@@ -594,6 +594,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimhashFingerprint].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimhashFingerprint(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_digits"),
+      new ExpressionInfo(classOf[FirstDigitRun].getName, "graft_digits"),
+      (children: Seq[Expression]) => FirstDigitRun(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_pii_scrub"),
       new ExpressionInfo(classOf[PiiScrub].getName, "graft_pii_scrub"),
       (children: Seq[Expression]) => PiiScrub(children.head)))

@@ -33,7 +33,13 @@ object Transcripts {
   def fromEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val e   = spark.read.parquet(s"$sfDir/events.parquet")
     val uid = col("user_id").cast("string")
-    val k   = regexp_extract(col("props"), "[0-9]+", 0)
+    // graft_digits == regexp_extract(props, "[0-9]+", 0) bit-exactly
+    // (ExprSpec parity; the oracleCte twin keeps regexp_extract) — the byte
+    // scan replaces a per-row regex engine walk on EVERY transcript query
+    val k   =
+      if (graft.expr.VectorFunctions.available(spark))
+        call_function("graft_digits", col("props"))
+      else regexp_extract(col("props"), "[0-9]+", 0)
     val v   = floor(col("value")).cast("long").cast("string")
     val et  = col("event_type")
 

@@ -159,6 +159,25 @@ class ExprSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_digits == regexp_extract(s, \"[0-9]+\", 0) (parity, incl. unicode digits and null)") {
+    import spark.implicits._
+    val rows = Seq(
+      "abc", "", "123", "abc123def456", "  7 89 ", "a1b2c3",
+      "٣٤",          // Arabic-Indic digits: [0-9] does NOT match
+      "① circled 5five",  // enumerated digit char vs ASCII '5'
+      "é12é3",                 // multibyte bytes AROUND an ASCII run
+      "0", "00042", "x9", "9x", "𝟙𝟚13",  // math digits (non-BMP) vs ASCII
+      null.asInstanceOf[String])
+    val df = rows.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "s")
+    val out = df.select(col("i"),
+        call_function("graft_digits", col("s")).as("fused"),
+        regexp_extract(col("s"), "[0-9]+", 0).as("composed"))
+      .collect()
+    out.foreach { r =>
+      assert(r.get(1) === r.get(2), s"row ${r.get(0)}: '${r.get(1)}' != '${r.get(2)}'")
+    }
+  }
+
   test("graft_winnow / graft_rolling_min == composed fingerprint chains (parity)") {
     val texts = Seq(
       "user 8 clicked element 69",
